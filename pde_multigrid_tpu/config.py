@@ -1,0 +1,46 @@
+"""Configuration dataclasses (the reference has none — every parameter is
+hard-coded in main(), SURVEY.md §5 "Config / flag system").
+
+All fields are static Python data: a config value change triggers exactly
+one recompile of the cycle program, which is the intended jit granularity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Literal
+
+CycleKind = Literal["v", "w", "fmg"]
+
+
+@dataclasses.dataclass(frozen=True)
+class CycleConfig:
+    """Multigrid schedule parameters.
+
+    nu0: V-cycles per FMG level (reference v0); nu1/nu2: pre-/post-smoothing
+    sweeps (reference v1/v2); mu: recursion count at each level (1 = V-cycle,
+    2 = W-cycle — an extension, the reference has V/FMG only, SURVEY.md §2.3).
+    """
+
+    kind: CycleKind = "fmg"
+    nu0: int = 2
+    nu1: int = 2
+    nu2: int = 2
+    mu: int = 1
+
+    def __post_init__(self):
+        if self.kind not in ("v", "w", "fmg"):
+            raise ValueError(f"unknown cycle kind {self.kind!r}")
+        if min(self.nu0, self.nu1, self.nu2, self.mu) < 0:
+            raise ValueError("cycle counts must be non-negative")
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    cycle: CycleConfig = CycleConfig()
+    dtype: str = "float32"  # reference is float32 throughout (SURVEY.md §2.7.9)
+    backend: Literal["auto", "jnp", "pallas"] = "auto"
+    num_levels: int | None = None  # None = down to 3 points/axis
+    # convergence-mode controls (solve_to_tolerance):
+    tol: float = 1e-8
+    max_cycles: int = 100

@@ -1,0 +1,163 @@
+"""Cycle schedulers: V-cycle, W/mu-cycle, and Full MultiGrid (FMG).
+
+The recursion over levels is unrolled at trace time (shapes are static per
+level), so an entire FMG solve — every sweep, transfer, and correction on
+every level — compiles to ONE XLA program and runs as one device dispatch.
+Contrast the reference, which pays a kernel launch + a device->host size
+memcpy per sweep (SURVEY.md §3.2).
+
+Execution order matches the reference exactly (MultiGrid1D.cpp:132-175 and
+3D counterparts):
+
+  VCycle(l):   relax nu1; if not coarsest: r = f - L v; coarse.f = R r;
+               coarse.v = 0 (whole array); VCycle(l+1) [x mu]; e = P coarse.v;
+               v += e (interior); relax nu2.
+  FMG(l):      restrict f down to the coarsest; coarsest v interior = 0;
+               then per level, coarsest->finest: nu0 VCycles, and prolong the
+               solution (interior) up one level before the next.
+
+mu > 1 gives W-cycles (extension beyond the reference, which has no W-cycle,
+SURVEY.md §2.3)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from pde_multigrid_tpu.config import CycleConfig
+from pde_multigrid_tpu.grid import Level, LevelGeometry
+from pde_multigrid_tpu.ops import stencil
+
+Array = jax.Array
+Levels = tuple[Level, ...]
+
+
+class JnpKernels:
+    """Default kernel tier: problem-defined pointwise math + generic
+    transfer ops from `ops.stencil`, fully fused by XLA."""
+
+    def __init__(self, problem, geoms: Sequence[LevelGeometry]):
+        self.problem = problem
+        self.geoms = tuple(geoms)
+
+    def relax(self, l: int, v, f, aux, nsweeps: int):
+        g = self.geoms[l]
+        upd = lambda v_, f_: self.problem.relax_update(v_, f_, g, aux)
+        return stencil.relax_rbgs(
+            upd, v, f, aux["m_red"], aux["m_black"], nsweeps
+        )
+
+    def residual(self, l: int, v, f, aux):
+        g = self.geoms[l]
+        return stencil.residual(
+            lambda v_: self.problem.apply_operator(v_, g, aux),
+            v,
+            f,
+            aux["m_int"],
+        )
+
+    def restrict(self, l_fine: int, arr, m_int_coarse):
+        return stencil.restrict_full_weighting(arr, m_int_coarse)
+
+    def prolong(self, l_coarse: int, arr):
+        return stencil.prolong_linear(arr)
+
+
+class CycleProgram:
+    """Pure functions over a level tuple implementing the configured cycles.
+
+    Instances are cheap; the heavy lifting happens when the returned
+    functions are jitted (see solver.MultigridSolver)."""
+
+    def __init__(
+        self,
+        problem,
+        geoms: Sequence[LevelGeometry],
+        config: CycleConfig,
+        kernels: Any | None = None,
+    ):
+        self.problem = problem
+        self.geoms = tuple(geoms)
+        self.config = config
+        self.kernels = kernels or JnpKernels(problem, geoms)
+
+    # -- building blocks ---------------------------------------------------
+
+    def _relax(self, levels: Levels, l: int, nsweeps: int) -> Levels:
+        if nsweeps == 0:
+            return levels
+        lvl = levels[l]
+        v = self.kernels.relax(l, lvl.v, lvl.f, lvl.aux, nsweeps)
+        return _set(levels, l, dataclasses.replace(lvl, v=v))
+
+    def v_cycle(self, levels: Levels, l: int = 0) -> Levels:
+        cfg = self.config
+        levels = self._relax(levels, l, cfg.nu1)
+        if l != len(self.geoms) - 1:
+            fine = levels[l]
+            coarse = levels[l + 1]
+            r = self.kernels.residual(l, fine.v, fine.f, fine.aux)
+            cf = self.kernels.restrict(l, r, coarse.aux["m_int"])
+            # zero the whole coarse error vector, boundary included
+            # (reference setToValue(coarse.v, 0, true), MultiGrid1D.cpp:158)
+            cv = jnp.zeros_like(coarse.v)
+            levels = _set(
+                levels, l + 1, dataclasses.replace(coarse, v=cv, f=cf)
+            )
+            for _ in range(cfg.mu):
+                levels = self.v_cycle(levels, l + 1)
+            err = self.kernels.prolong(l, levels[l + 1].v)
+            fine = levels[l]
+            v = stencil.apply_correction(fine.v, err, fine.aux["m_int"])
+            levels = _set(levels, l, dataclasses.replace(fine, v=v))
+        levels = self._relax(levels, l, cfg.nu2)
+        return levels
+
+    def fmg(self, levels: Levels) -> Levels:
+        cfg = self.config
+        nlev = len(self.geoms)
+        # cascade the RHS down (reference FMG restricts fine.f -> coarse.f
+        # before recursing, MultiGrid1D.cpp:132-140)
+        for l in range(nlev - 1):
+            coarse = levels[l + 1]
+            cf = self.kernels.restrict(
+                l, levels[l].f, coarse.aux["m_int"]
+            )
+            levels = _set(levels, l + 1, dataclasses.replace(coarse, f=cf))
+        # coarsest: zero interior, keep Dirichlet boundary
+        bot = levels[-1]
+        v0 = stencil.set_interior(bot.v, 0.0, bot.aux["m_int"])
+        levels = _set(levels, nlev - 1, dataclasses.replace(bot, v=v0))
+        # upward leg: nu0 V-cycles per level, then prolong the solution
+        for l in range(nlev - 1, -1, -1):
+            for _ in range(cfg.nu0):
+                levels = self.v_cycle(levels, l)
+            if l > 0:
+                fine = levels[l - 1]
+                vfine = self.kernels.prolong(l - 1, levels[l].v)
+                v = fine.v + fine.aux["m_int"] * (vfine - fine.v)
+                levels = _set(levels, l - 1, dataclasses.replace(fine, v=v))
+        return levels
+
+    def solve_step(self, levels: Levels) -> Levels:
+        """One iteration of the configured schedule on the finest level."""
+        if self.config.kind == "fmg":
+            return self.fmg(levels)
+        return self.v_cycle(levels, 0)
+
+    # -- diagnostics -------------------------------------------------------
+
+    def residual_norms(self, levels: Levels, l: int = 0):
+        """(L2-mean, Linf) norms of the level-`l` residual."""
+        lvl = levels[l]
+        r = self.kernels.residual(l, lvl.v, lvl.f, lvl.aux)
+        l2 = jnp.sqrt(jnp.mean(r * r))
+        linf = jnp.max(jnp.abs(r))
+        return l2, linf
+
+
+def _set(levels: Levels, i: int, new: Level) -> Levels:
+    return levels[:i] + (new,) + levels[i + 1 :]

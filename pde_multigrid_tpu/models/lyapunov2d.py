@@ -1,0 +1,92 @@
+"""2D Lyapunov PDE.
+
+    (dV/dx)(a11 x + a12 y) + (dV/dy)(a21 x + a22 y) = -alpha V
+
+derived from Vdot = grad(V) . f(x) = -alpha V for the linear system
+xdot = A x (thesis eq. 3.2.22-3.2.23).  With the reference's default
+A = [[-1, -2], [0, -3]] (Hurwitz) and alpha = 2 the exact solution is the
+quadratic Lyapunov form V = 2x^2 - 4xy + 2y^2 (reference LyapunovSolver.cpp:20-28,
+Grid2D.cpp:61).  RHS f = 0 on the finest grid; Dirichlet boundary = exact V.
+
+Discretization (thesis eq. 3.2.25-3.2.27; reference MultiGrid2D.cpp:199-273):
+forward differences on both axes — a 3-point one-sided stencil (center,
+E = +x neighbor, S = +y neighbor).  With K1 = a11 x + a12 y, K2 = a21 x + a22 y:
+
+    operator:  L v = K1 (E - C)/h_x + K2 (S - C)/h_y + alpha C
+    residual:  r = f - L v                       (MultiGrid2D.cpp:367-408)
+    relax:     C = (h_y K1 E + h_x K2 S - f h_x h_y)
+                   / (K1 h_y + K2 h_x - alpha h_x h_y)   (MultiGrid2D.cpp:233-241)
+
+The CPU reference's relax and residual are mutually consistent; the CUDA
+reference drops the f term in relax (SURVEY.md §2.7.2) — we implement the
+correct CPU semantics.  Note the sign convention: the PDE is L v = 0 with
+the alpha-term folded in, so f=0 at the finest level and f=restricted
+residual on coarse levels, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pde_multigrid_tpu.grid import LevelGeometry
+from pde_multigrid_tpu.models.base import ProblemBase
+
+Array = jax.Array
+
+
+class Lyapunov2D(ProblemBase):
+    ndim = 2
+    name = "lyapunov2d"
+
+    def __init__(
+        self,
+        a_matrix=((-1.0, -2.0), (0.0, -3.0)),
+        alpha: float = 2.0,
+        p_matrix=((2.0, -2.0), (-2.0, 2.0)),
+        domain: tuple[tuple[float, float], ...] = ((0.0, 1.0), (0.0, 1.0)),
+    ):
+        """`a_matrix` is the system matrix A (must be Hurwitz for a Lyapunov
+        function to exist); `p_matrix` the quadratic-form solution matrix P
+        with V = [x y] P [x y]^T.  Defaults reproduce the reference driver
+        (LyapunovSolver.cpp:13-31)."""
+        self.a = np.asarray(a_matrix, dtype=np.float64)
+        self.alpha = float(alpha)
+        self.p = np.asarray(p_matrix, dtype=np.float64)
+        self.domain = tuple(tuple(d) for d in domain)
+
+    def exact_solution(self, coords: tuple[Array, ...]) -> Array:
+        x, y = coords
+        p = self.p
+        return p[0, 0] * x * x + (p[0, 1] + p[1, 0]) * x * y + p[1, 1] * y * y
+
+    def rhs(self, coords: tuple[Array, ...]) -> Array:
+        x, _ = coords
+        return jnp.zeros_like(x)
+
+    def make_aux(self, geom: LevelGeometry, dtype=jnp.float32):
+        x, y = geom.coords(dtype)
+        a = self.a
+        k1 = (a[0, 0] * x + a[0, 1] * y).astype(dtype)
+        k2 = (a[1, 0] * x + a[1, 1] * y).astype(dtype)
+        return {"k1": k1, "k2": k2}
+
+    def relax_update(self, v, f, geom: LevelGeometry, aux) -> Array:
+        hx = jnp.asarray(geom.spacing[0], v.dtype)
+        hy = jnp.asarray(geom.spacing[1], v.dtype)
+        k1, k2 = aux["k1"], aux["k2"]
+        east = self.shift(v, 0, +1)  # +x neighbor
+        south = self.shift(v, 1, +1)  # +y neighbor
+        den = k1 * hy + k2 * hx - self.alpha * hx * hy
+        return (hy * k1 * east + hx * k2 * south - f * hx * hy) / den
+
+    def apply_operator(self, v, geom: LevelGeometry, aux) -> Array:
+        hx = jnp.asarray(geom.spacing[0], v.dtype)
+        hy = jnp.asarray(geom.spacing[1], v.dtype)
+        k1, k2 = aux["k1"], aux["k2"]
+        east = self.shift(v, 0, +1)
+        south = self.shift(v, 1, +1)
+        return (
+            k1 * (east - v) / hx + k2 * (south - v) / hy + self.alpha * v
+        )

@@ -1,0 +1,61 @@
+"""1D first-order linear ODE (the reference's misnamed "Poisson1D").
+
+    u'(x) - u(x)/(e^x + 1) = e^x,   x in [x_a, x_b],
+    Dirichlet at both ends from the exact solution
+    u(x) = (e^x + x - 3) / (1 + e^-x).
+
+Discretization (thesis eq. 3.1.1-3.1.3; reference Grid1D.cpp:30-43,
+MultiGrid1D.cpp:79-118): forward difference u' ~ (v[j+1] - v[j]) / h.
+Local solve for the center point:
+
+    v[j] = (v[j+1]*(e^x+1) - f[j]*h*(e^x+1)) / (e^x + 1 + h).
+
+Residual: r = f - [(v[j+1]-v[j])/h - v[j]/(e^x+1)]. NOTE: the reference's
+CalculateResidual (MultiGrid1D.cpp:210, MultiGrid1D.cu:305) has a sign typo
+(`- v/(e^x+1)` instead of `+`), inconsistent with its own relax step; we
+implement the residual of the operator the relax step actually solves
+(SURVEY.md §2.7.4 — fix, don't port).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pde_multigrid_tpu.grid import LevelGeometry
+from pde_multigrid_tpu.models.base import ProblemBase
+
+Array = jax.Array
+
+
+class Ode1D(ProblemBase):
+    ndim = 1
+    name = "ode1d"
+
+    def __init__(self, domain: tuple[tuple[float, float], ...] = ((0.0, 1.0),)):
+        self.domain = tuple(tuple(d) for d in domain)
+
+    def exact_solution(self, coords: tuple[Array, ...]) -> Array:
+        (x,) = coords
+        return (jnp.exp(x) + x - 3.0) / (1.0 + jnp.exp(-x))
+
+    def rhs(self, coords: tuple[Array, ...]) -> Array:
+        (x,) = coords
+        return jnp.exp(x)
+
+    def make_aux(self, geom: LevelGeometry, dtype=jnp.float32):
+        (x,) = geom.coords(dtype)
+        epx = jnp.exp(x) + 1.0  # e^x + 1, the variable coefficient field
+        return {"epx": epx.astype(dtype)}
+
+    def relax_update(self, v, f, geom: LevelGeometry, aux) -> Array:
+        h = jnp.asarray(geom.spacing[0], v.dtype)
+        epx = aux["epx"]
+        east = self.shift(v, 0, +1)  # v[j+1]
+        return (east * epx - f * h * epx) / (epx + h)
+
+    def apply_operator(self, v, geom: LevelGeometry, aux) -> Array:
+        h = jnp.asarray(geom.spacing[0], v.dtype)
+        epx = aux["epx"]
+        east = self.shift(v, 0, +1)
+        return (east - v) / h - v / epx

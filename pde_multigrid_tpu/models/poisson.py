@@ -1,0 +1,99 @@
+"""d-dimensional Poisson problem: laplacian(u) = f, Dirichlet boundary.
+
+The thesis headline case (3D): f = -3 pi^2 sin(pi x) sin(pi y) sin(pi z) on
+(0,1)^3, u = 0 on the boundary, exact u = sin(pi x) sin(pi y) sin(pi z)
+(thesis eq. 3.4.3-3.4.4; reference Grid3D.cpp:78-96, Poisson3DSolver.cpp).
+
+Discretization: the (2d+1)-point second-order Laplacian.  The relax step is
+the anisotropy-ready local solve of thesis eq. 3.4.5 (reference
+MultiGrid3D.cpp:489-567), generalized to any d:
+
+    v = ( sum_ax (v_minus + v_plus) / h_ax^2  -  f ) / ( 2 sum_ax 1/h_ax^2 )
+
+Residual: r = f - laplacian_h(v).  The reference's 3D residual has sign
+typos on the S and U terms (MultiGrid3D.cpp:723, MultiGrid3D.cu:767 — see
+SURVEY.md §2.7.3); we implement the correct symmetric form, which is the
+operator the reference's own relax step solves and FMG converges with.
+
+`Poisson` is dimension-generic with arbitrary separable-sine exact
+solutions; `Poisson3D()` is the thesis parity configuration.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from pde_multigrid_tpu.grid import LevelGeometry
+from pde_multigrid_tpu.models.base import ProblemBase
+
+Array = jax.Array
+
+
+class Poisson(ProblemBase):
+    """laplacian(u) = f with separable product-of-sines manufactured solution
+
+        u(x) = prod_ax sin(k_ax pi x_ax),
+        f(x) = -(sum_ax (k_ax pi)^2) u(x),
+
+    which is zero on the boundary of any [0, 1]-aligned box and reduces to
+    the thesis test case for ndim=3, k=(1,1,1)."""
+
+    def __init__(
+        self,
+        ndim: int,
+        domain: tuple[tuple[float, float], ...] | None = None,
+        wavenumbers: tuple[int, ...] | None = None,
+    ):
+        self.ndim = int(ndim)
+        self.name = f"poisson{self.ndim}d"
+        self.domain = (
+            tuple(tuple(d) for d in domain)
+            if domain is not None
+            else ((0.0, 1.0),) * self.ndim
+        )
+        self.k = tuple(wavenumbers) if wavenumbers else (1,) * self.ndim
+
+    def exact_solution(self, coords: tuple[Array, ...]) -> Array:
+        u = None
+        for k, x in zip(self.k, coords):
+            s = jnp.sin(k * math.pi * x)
+            u = s if u is None else u * s
+        return u
+
+    def rhs(self, coords: tuple[Array, ...]) -> Array:
+        lam = sum((k * math.pi) ** 2 for k in self.k)
+        return -lam * self.exact_solution(coords)
+
+    def make_aux(self, geom: LevelGeometry, dtype=jnp.float32):
+        return {}
+
+    def _inv_h2(self, geom: LevelGeometry, dtype):
+        return [
+            jnp.asarray(1.0 / (h * h), dtype) for h in geom.spacing
+        ]
+
+    def relax_update(self, v, f, geom: LevelGeometry, aux) -> Array:
+        inv_h2 = self._inv_h2(geom, v.dtype)
+        num = -f
+        den = 0.0
+        for ax, w in enumerate(inv_h2):
+            num = num + (self.shift(v, ax, -1) + self.shift(v, ax, +1)) * w
+            den = den + 2.0 * w
+        return num / den
+
+    def apply_operator(self, v, geom: LevelGeometry, aux) -> Array:
+        inv_h2 = self._inv_h2(geom, v.dtype)
+        out = 0.0
+        for ax, w in enumerate(inv_h2):
+            out = out + (
+                self.shift(v, ax, -1) - 2.0 * v + self.shift(v, ax, +1)
+            ) * w
+        return out
+
+
+def Poisson3D(domain=((0.0, 1.0),) * 3) -> Poisson:
+    """The thesis 3D Poisson parity case (Poisson3DSolver.cpp:14-20)."""
+    return Poisson(ndim=3, domain=domain)

@@ -1,0 +1,122 @@
+"""The six core multigrid ops, dimension-generic, as pure-jnp reference
+implementations (SURVEY.md §2.2: Relax / CalculateResidual / Restrict /
+Interpolate / ApplyCorrection / Set).
+
+Design (TPU-first, not a CUDA port):
+  * Red-black Gauss-Seidel is two masked whole-array updates per sweep —
+    mathematically identical to the reference's two colored loops
+    (MultiGrid3D.cpp:489-567) and race-free by construction (the reference's
+    CUDA kernels have a cross-block race here, SURVEY.md §2.7.1).
+  * Restriction is the separable tensor-product of the 1D full-weighting
+    stencil [1/4, 1/2, 1/4] evaluated at even fine points, which expands to
+    exactly the reference's 9-point (1/16 [1,2,1;2,4,2;1,2,1],
+    MultiGrid2D.cpp:123) and 27-point (weights 1/8,1/16,1/32,1/64,
+    MultiGrid3D.cpp:180) kernels; coarse boundary = injection.
+  * Prolongation is the separable per-axis linear upsample, expanding to
+    the reference's parity-case bilinear/trilinear formulas
+    (MultiGrid2D.cpp:128-196, MultiGrid3D.cpp:186-335); interior-only.
+  * Sweep loops run under `lax.fori_loop` so a nu=3000 relax leg is ONE
+    XLA dispatch, not 3000 kernel launches (the reference pays one launch
+    plus a device->host memcpy per sweep, SURVEY.md §3.2).
+
+Masks are float (1.0/0.0) fields from `grid.base_aux`; masked update is
+`v + m*(upd - v)` — a fused multiply-add on the VPU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Array = jax.Array
+
+
+def relax_rbgs(
+    update_fn: Callable[[Array, Array], Array],
+    v: Array,
+    f: Array,
+    m_red: Array,
+    m_black: Array,
+    nsweeps: int,
+) -> Array:
+    """`nsweeps` red-black Gauss-Seidel sweeps.
+
+    `update_fn(v, f)` returns the pointwise local solve evaluated at all
+    points; red (even-parity interior) points are written first, then black,
+    matching the reference sweep order (MultiGrid1D.cpp:79-118).
+    """
+
+    def one_sweep(_, v):
+        v = v + m_red * (update_fn(v, f) - v)
+        v = v + m_black * (update_fn(v, f) - v)
+        return v
+
+    if nsweeps == 1:
+        return one_sweep(0, v)
+    return lax.fori_loop(0, nsweeps, one_sweep, v)
+
+
+def residual(
+    apply_op: Callable[[Array], Array], v: Array, f: Array, m_int: Array
+) -> Array:
+    """r = f - L v on the interior, 0 on the boundary (reference
+    CalculateResidual, e.g. MultiGrid2D.cpp:367-408)."""
+    return m_int * (f - apply_op(v))
+
+
+def _shift(a: Array, axis: int, offset: int) -> Array:
+    """result[i] = a[i + offset]; wraparound only pollutes boundary points,
+    which all consumers overwrite or mask."""
+    return jnp.roll(a, -offset, axis=axis)
+
+
+def restrict_full_weighting(fine: Array, m_int_coarse: Array) -> Array:
+    """Full-weighting restriction (fine -> coarse), any dimension.
+
+    Separable smoothing with [1/4, 1/2, 1/4] per axis, then stride-2
+    subsampling; coarse boundary points are straight injection of the
+    coincident fine point (reference "COPIO VALORI SUI BORDI",
+    MultiGrid1D.cpp:44-49).
+    """
+    a = fine
+    for ax in range(fine.ndim):
+        a = 0.25 * _shift(a, ax, -1) + 0.5 * a + 0.25 * _shift(a, ax, +1)
+    sub = (slice(None, None, 2),) * fine.ndim
+    smoothed = a[sub]
+    injected = fine[sub]
+    return injected + m_int_coarse * (smoothed - injected)
+
+
+def _upsample_axis(a: Array, axis: int) -> Array:
+    """Linear upsample m -> 2m-1 along `axis`:
+    out[2i] = a[i], out[2i+1] = (a[i] + a[i+1]) / 2."""
+    a = jnp.moveaxis(a, axis, 0)
+    mid = 0.5 * (a[:-1] + a[1:])
+    body = jnp.stack([a[:-1], mid], axis=1).reshape((-1,) + a.shape[1:])
+    out = jnp.concatenate([body, a[-1:]], axis=0)
+    return jnp.moveaxis(out, 0, axis)
+
+
+def prolong_linear(coarse: Array) -> Array:
+    """(Bi/tri)linear prolongation coarse -> fine, any dimension; returns the
+    full fine-size array (callers apply it interior-only, reference
+    Interpolate never writes the boundary)."""
+    a = coarse
+    for ax in range(coarse.ndim):
+        a = _upsample_axis(a, ax)
+    return a
+
+
+def apply_correction(v: Array, error: Array, m_int: Array) -> Array:
+    """v <- v + e on the interior only (reference ApplyCorrection,
+    MultiGrid1D.cpp:177-188)."""
+    return v + m_int * error
+
+
+def set_interior(v: Array, value: float, m_int: Array) -> Array:
+    """Fill the interior with `value`, keep the boundary (reference
+    setToValue with modifyBoundaries=false, MultiGrid1D.cpp:120-130)."""
+    return v + m_int * (value - v)

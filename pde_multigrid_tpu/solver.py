@@ -1,0 +1,160 @@
+"""High-level solver API.
+
+    problem = Poisson3D()
+    solver = MultigridSolver(problem, shape=129,
+                             config=SolverConfig(cycle=CycleConfig("fmg", 2, 2, 2)))
+    result = solver.solve()
+    result.error_linf, result.residual_l2, result.v
+
+Replaces the reference's six hard-coded main() drivers (SURVEY.md §1
+"Driver / problem setup") with one configurable entry point; verification
+against the analytic oracle replaces the Print*/log-file inspection flow
+(SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from pde_multigrid_tpu.config import CycleConfig, SolverConfig
+from pde_multigrid_tpu.cycles import CycleProgram, JnpKernels
+from pde_multigrid_tpu.grid import Hierarchy, Level
+
+Array = jax.Array
+
+
+@dataclasses.dataclass
+class SolveResult:
+    v: Array  # finest-level solution
+    residual_l2: float
+    residual_linf: float
+    error_l2: float | None  # vs analytic oracle (None if no oracle)
+    error_linf: float | None
+    error_mae: float | None  # interior mean absolute error (reference's
+    # PrintMeanAbsoluteError metric, Grid2D.cu:123-154)
+    cycles_run: int
+    residual_history: list[float]
+    wall_time_s: float
+    compile_time_s: float
+
+
+def _pick_kernels(problem, geoms, backend: str):
+    if backend in ("auto", "pallas"):
+        try:
+            from pde_multigrid_tpu.ops.pallas import dispatch as pallas_dispatch
+
+            k = pallas_dispatch.make_kernels(problem, geoms)
+            if k is not None:
+                return k
+            if backend == "pallas":
+                raise ValueError(
+                    f"no pallas kernels available for problem {problem.name}"
+                )
+        except ImportError:
+            if backend == "pallas":
+                raise
+    return JnpKernels(problem, geoms)
+
+
+class MultigridSolver:
+    def __init__(
+        self,
+        problem,
+        shape: int | tuple[int, ...],
+        config: SolverConfig | None = None,
+    ):
+        self.config = config or SolverConfig()
+        dtype = jnp.dtype(self.config.dtype)
+        self.hierarchy = Hierarchy.build(
+            problem, shape, num_levels=self.config.num_levels, dtype=dtype
+        )
+        self.problem = problem
+        self.geoms = self.hierarchy.geoms
+        kernels = _pick_kernels(problem, self.geoms, self.config.backend)
+        self.program = CycleProgram(
+            problem, self.geoms, self.config.cycle, kernels
+        )
+        # one compiled program per (hierarchy, cycle config)
+        self._step = jax.jit(self.program.solve_step, donate_argnums=0)
+        self._vstep = jax.jit(
+            lambda lv: self.program.v_cycle(lv, 0), donate_argnums=0
+        )
+        self._norms = jax.jit(self.program.residual_norms)
+
+    def fresh_levels(self):
+        """Freshly initialized levels. Rebuilt per call because the jitted
+        steps donate their input buffers (in-place update on device)."""
+        dtype = jnp.dtype(self.config.dtype)
+        return tuple(
+            self.problem.init_level(g, dtype=dtype) for g in self.geoms
+        )
+
+    # -- main entry points -------------------------------------------------
+
+    def solve(self, levels=None) -> SolveResult:
+        """Run the configured schedule once (the reference's usage: a single
+        FullMultiGridVCycle call per run, e.g. Poisson3DSolver.cpp:34)."""
+        levels = tuple(levels) if levels is not None else self.fresh_levels()
+        t_c0 = time.perf_counter()
+        lowered = self._step.lower(levels).compile()
+        compile_s = time.perf_counter() - t_c0
+        t0 = time.perf_counter()
+        levels = lowered(levels)
+        jax.block_until_ready(levels)
+        wall = time.perf_counter() - t0
+        return self._finalize(levels, 1, [], wall, compile_s)
+
+    def solve_to_tolerance(self, levels=None) -> SolveResult:
+        """FMG (if configured) followed by V-cycles until the finest-level
+        L2 residual is below config.tol or max_cycles is reached."""
+        cfg = self.config
+        levels = tuple(levels) if levels is not None else self.fresh_levels()
+        t_c0 = time.perf_counter()
+        step = self._step.lower(levels).compile()
+        vstep = self._vstep.lower(levels).compile()
+        compile_s = time.perf_counter() - t_c0
+        history: list[float] = []
+        t0 = time.perf_counter()
+        levels = step(levels)
+        l2, _ = self._norms(levels)
+        history.append(float(l2))
+        n = 1
+        while history[-1] > cfg.tol and n < cfg.max_cycles:
+            levels = vstep(levels)
+            l2, _ = self._norms(levels)
+            history.append(float(l2))
+            n += 1
+        jax.block_until_ready(levels)
+        wall = time.perf_counter() - t0
+        return self._finalize(levels, n, history, wall, compile_s)
+
+    # -- verification ------------------------------------------------------
+
+    def _finalize(
+        self, levels, cycles: int, history, wall: float, compile_s: float
+    ) -> SolveResult:
+        l2, linf = self._norms(levels)
+        fin = levels[0]
+        geo = self.geoms[0]
+        exact = self.problem.exact_solution(geo.coords(fin.v.dtype))
+        diff = (fin.v - exact) * fin.aux["m_int"]
+        n_int = float(jnp.sum(fin.aux["m_int"]))
+        err_l2 = float(jnp.sqrt(jnp.sum(diff * diff) / n_int))
+        err_linf = float(jnp.max(jnp.abs(diff)))
+        err_mae = float(jnp.sum(jnp.abs(diff)) / n_int)
+        return SolveResult(
+            v=fin.v,
+            residual_l2=float(l2),
+            residual_linf=float(linf),
+            error_l2=err_l2,
+            error_linf=err_linf,
+            error_mae=err_mae,
+            cycles_run=cycles,
+            residual_history=list(history),
+            wall_time_s=wall,
+            compile_time_s=compile_s,
+        )
