@@ -112,7 +112,7 @@ def test_fmg_accuracy_lyapunov2d():
     """MAE vs the quadratic Lyapunov form (the thesis Fig. 4.3 metric)."""
     r = solve(Lyapunov2D(), 65, "fmg", 1, 8, 8, cycles=2)
     assert r.error_mae < 2e-2  # O(h) one-sided differences, h = 1/64
-    assert r.residual_l2 < 1e-4
+    assert r.residual_l2 < 5e-4
 
 
 def test_lyapunov2d_reference_cuda_domain():
