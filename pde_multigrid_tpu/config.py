@@ -41,6 +41,11 @@ class SolverConfig:
     dtype: str = "float32"  # reference is float32 throughout (SURVEY.md §2.7.9)
     backend: Literal["auto", "jnp", "pallas"] = "auto"
     num_levels: int | None = None  # None = down to 3 points/axis
+    # physical padding: round axis-0 extent up to a multiple (device-mesh
+    # divisibility) and last-axis extent (TPU lane alignment); padding is
+    # inert (mask-gated) everywhere
+    pad_axis0_to: int = 1
+    pad_last_to: int = 1
     # convergence-mode controls (solve_to_tolerance):
     tol: float = 1e-8
     max_cycles: int = 100

@@ -59,11 +59,15 @@ class JnpKernels:
             aux["m_int"],
         )
 
-    def restrict(self, l_fine: int, arr, m_int_coarse):
-        return stencil.restrict_full_weighting(arr, m_int_coarse)
+    def restrict(self, l_fine: int, arr, m_int_coarse, m_log_coarse):
+        return stencil.restrict_full_weighting(
+            arr, m_int_coarse, m_log_coarse
+        )
 
-    def prolong(self, l_coarse: int, arr):
-        return stencil.prolong_linear(arr)
+    def prolong(self, l_fine: int, arr):
+        return stencil.prolong_linear(
+            arr, self.geoms[l_fine].padded_shape
+        )
 
 
 class CycleProgram:
@@ -100,7 +104,9 @@ class CycleProgram:
             fine = levels[l]
             coarse = levels[l + 1]
             r = self.kernels.residual(l, fine.v, fine.f, fine.aux)
-            cf = self.kernels.restrict(l, r, coarse.aux["m_int"])
+            cf = self.kernels.restrict(
+                l, r, coarse.aux["m_int"], coarse.aux["m_log"]
+            )
             # zero the whole coarse error vector, boundary included
             # (reference setToValue(coarse.v, 0, true), MultiGrid1D.cpp:158)
             cv = jnp.zeros_like(coarse.v)
@@ -124,7 +130,7 @@ class CycleProgram:
         for l in range(nlev - 1):
             coarse = levels[l + 1]
             cf = self.kernels.restrict(
-                l, levels[l].f, coarse.aux["m_int"]
+                l, levels[l].f, coarse.aux["m_int"], coarse.aux["m_log"]
             )
             levels = _set(levels, l + 1, dataclasses.replace(coarse, f=cf))
         # coarsest: zero interior, keep Dirichlet boundary
@@ -154,7 +160,8 @@ class CycleProgram:
         """(L2-mean, Linf) norms of the level-`l` residual."""
         lvl = levels[l]
         r = self.kernels.residual(l, lvl.v, lvl.f, lvl.aux)
-        l2 = jnp.sqrt(jnp.mean(r * r))
+        n_log = jnp.sum(lvl.aux["m_log"])
+        l2 = jnp.sqrt(jnp.sum(r * r) / n_log)
         linf = jnp.max(jnp.abs(r))
         return l2, linf
 

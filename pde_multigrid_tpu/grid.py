@@ -54,31 +54,54 @@ class Level:
 
 @dataclasses.dataclass(frozen=True)
 class LevelGeometry:
-    """Static geometry of one level. Hashable: safe to close over in jit."""
+    """Static geometry of one level. Hashable: safe to close over in jit.
 
-    shape: tuple[int, ...]  # points per axis, each 2^k + 1
+    `shape` is the *logical* grid (2^k + 1 points per axis, reference
+    semantics); `padded_shape` is the physical array shape.  TPU-first
+    storage: logical sizes 2^k+1 are hostile to both lane tiling (last axis
+    wants multiples of 128) and mesh sharding (axis 0 wants divisibility by
+    the device count), so arrays may carry trailing padding.  Padding is
+    inert by construction: masks (`m_log`, `m_int`, colors) are zero there,
+    every op is mask-gated, and coefficient fields are built from clamped
+    coordinates so padded entries stay finite.
+    """
+
+    shape: tuple[int, ...]  # logical points per axis, each 2^k + 1
     spacing: tuple[float, ...]  # h per axis
     origin: tuple[float, ...]  # coordinate of index 0 per axis
     domain: tuple[tuple[float, float], ...]  # (lo, hi) per axis
+    padded_shape: tuple[int, ...] = None  # physical array shape
+
+    def __post_init__(self):
+        if self.padded_shape is None:
+            object.__setattr__(self, "padded_shape", self.shape)
+        for p, s in zip(self.padded_shape, self.shape):
+            if p < s:
+                raise ValueError("padded_shape must cover logical shape")
 
     @property
     def ndim(self) -> int:
         return len(self.shape)
 
     def coords1d(self, axis: int, dtype=jnp.float32) -> Array:
-        """Coordinates along one axis: origin + i*h.
+        """Coordinates along one axis: origin + i*h, clamped to the domain
+        (padded tail rows repeat the upper bound so coefficient fields stay
+        finite there).
 
         Computed in float32 to match the reference's `x_a + posX*h_x`
         (e.g. Grid3D.cpp:84-92) rounding behavior.
         """
-        n = self.shape[axis]
+        n = self.padded_shape[axis]
+        lo, hi = self.domain[axis]
         i = jnp.arange(n, dtype=dtype)
-        return jnp.asarray(self.origin[axis], dtype) + i * jnp.asarray(
+        x = jnp.asarray(self.origin[axis], dtype) + i * jnp.asarray(
             self.spacing[axis], dtype
         )
+        return jnp.clip(x, min(lo, hi), max(lo, hi))
 
     def coords(self, dtype=jnp.float32) -> tuple[Array, ...]:
-        """Broadcastable coordinate arrays (meshgrid, 'ij' indexing)."""
+        """Broadcastable coordinate arrays (meshgrid, 'ij' indexing), at
+        the padded shape."""
         axes = [self.coords1d(a, dtype) for a in range(self.ndim)]
         return tuple(jnp.meshgrid(*axes, indexing="ij"))
 
@@ -101,12 +124,24 @@ def num_levels_for(shape: tuple[int, ...]) -> int:
     return min(check_grid_size(n) for n in shape)
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 def build_geometries(
     shape: tuple[int, ...],
     domain: tuple[tuple[float, float], ...],
     num_levels: int | None = None,
+    pad_axis0_to: int = 1,
+    pad_last_to: int = 1,
 ) -> tuple[LevelGeometry, ...]:
-    """Geometry for every level, finest first."""
+    """Geometry for every level, finest first.
+
+    pad_axis0_to: round the physical axis-0 extent up to this multiple
+    (device-mesh divisibility for spatial sharding).
+    pad_last_to: round the physical last-axis extent up to this multiple
+    (TPU lane alignment, typically 128).
+    """
     ndim = len(shape)
     if len(domain) != ndim:
         raise ValueError("domain rank must match shape rank")
@@ -120,20 +155,48 @@ def build_geometries(
         spacing = tuple(
             (hi - lo) / (n - 1) for (lo, hi), n in zip(domain, cur)
         )
+        padded = list(cur)
+        if ndim == 1:
+            padded[0] = _round_up(
+                padded[0], math.lcm(pad_axis0_to, pad_last_to)
+            )
+        else:
+            padded[0] = _round_up(padded[0], pad_axis0_to)
+            padded[-1] = _round_up(padded[-1], pad_last_to)
         geoms.append(
             LevelGeometry(
                 shape=cur,
                 spacing=spacing,
                 origin=tuple(lo for lo, _ in domain),
                 domain=tuple(domain),
+                padded_shape=tuple(padded),
             )
         )
         cur = coarsen_shape(cur)
     return tuple(geoms)
 
 
-def interior_mask(shape: tuple[int, ...]) -> np.ndarray:
-    """Boolean mask of interior (non-boundary) points."""
+def _pad_to(m: np.ndarray, padded_shape: tuple[int, ...]) -> np.ndarray:
+    """Zero/False-pad a logical-shape mask out to the physical shape."""
+    if tuple(m.shape) == tuple(padded_shape):
+        return m
+    out = np.zeros(padded_shape, dtype=m.dtype)
+    out[tuple(slice(0, s) for s in m.shape)] = m
+    return out
+
+
+def logical_mask(
+    shape: tuple[int, ...], padded_shape: tuple[int, ...] | None = None
+) -> np.ndarray:
+    """Boolean mask of the logical (non-padding) region."""
+    m = np.ones(shape, dtype=bool)
+    return _pad_to(m, padded_shape or shape)
+
+
+def interior_mask(
+    shape: tuple[int, ...], padded_shape: tuple[int, ...] | None = None
+) -> np.ndarray:
+    """Boolean mask of interior (non-boundary, non-padding) points."""
     m = np.ones(shape, dtype=bool)
     for ax in range(len(shape)):
         idx_lo = [slice(None)] * len(shape)
@@ -142,16 +205,20 @@ def interior_mask(shape: tuple[int, ...]) -> np.ndarray:
         idx_hi[ax] = shape[ax] - 1
         m[tuple(idx_lo)] = False
         m[tuple(idx_hi)] = False
-    return m
+    return _pad_to(m, padded_shape or shape)
 
 
-def parity_mask(shape: tuple[int, ...], color: int) -> np.ndarray:
+def parity_mask(
+    shape: tuple[int, ...],
+    color: int,
+    padded_shape: tuple[int, ...] | None = None,
+) -> np.ndarray:
     """Checkerboard mask: True where (sum of indices) % 2 == color.
 
     color 0 = the reference's "punti pari" (red) updated first, color 1 =
     odd/black (e.g. MultiGrid3D.cpp:515,544)."""
     grids = np.indices(shape).sum(axis=0)
-    return (grids % 2) == color
+    return _pad_to((grids % 2) == color, padded_shape or shape)
 
 
 def base_aux(geom: LevelGeometry, dtype=jnp.float32) -> dict[str, Array]:
@@ -161,12 +228,14 @@ def base_aux(geom: LevelGeometry, dtype=jnp.float32) -> dict[str, Array]:
     the relaxation inner loop is then pure f32 VPU math
     (v' = v + mask*(update - v)) with no select lowering surprises.
     """
-    interior = interior_mask(geom.shape)
-    red = parity_mask(geom.shape, 0)
+    interior = interior_mask(geom.shape, geom.padded_shape)
+    red = parity_mask(geom.shape, 0, geom.padded_shape)
+    log = logical_mask(geom.shape, geom.padded_shape)
     return {
         "m_red": jnp.asarray(interior & red, dtype),
         "m_black": jnp.asarray(interior & ~red, dtype),
         "m_int": jnp.asarray(interior, dtype),
+        "m_log": jnp.asarray(log, dtype),
     }
 
 
@@ -191,6 +260,8 @@ class Hierarchy:
         shape: tuple[int, ...] | int,
         num_levels: int | None = None,
         dtype=jnp.float32,
+        pad_axis0_to: int = 1,
+        pad_last_to: int = 1,
     ) -> "Hierarchy":
         if isinstance(shape, int):
             shape = (shape,) * problem.ndim
@@ -198,7 +269,13 @@ class Hierarchy:
             raise ValueError(
                 f"shape rank {len(shape)} != problem ndim {problem.ndim}"
             )
-        geoms = build_geometries(shape, problem.domain, num_levels)
+        geoms = build_geometries(
+            shape,
+            problem.domain,
+            num_levels,
+            pad_axis0_to=pad_axis0_to,
+            pad_last_to=pad_last_to,
+        )
         levels = [problem.init_level(g, dtype=dtype) for g in geoms]
         return cls(problem=problem, geoms=geoms, levels=levels)
 

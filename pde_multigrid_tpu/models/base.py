@@ -68,9 +68,10 @@ class ProblemBase:
         aux.update(self.make_aux(geom, dtype))
         coords = geom.coords(dtype)
         bv = self.boundary_values(coords).astype(dtype)
-        m_int = aux["m_int"]
-        v = bv * (1.0 - m_int)  # Dirichlet boundary, zero interior
-        f = self.rhs(coords).astype(dtype)
+        m_int, m_log = aux["m_int"], aux["m_log"]
+        # Dirichlet data on the logical boundary, zero interior and padding
+        v = bv * (m_log - m_int)
+        f = self.rhs(coords).astype(dtype) * m_log
         return Level(v=v, f=f, aux=aux)
 
     def shift(self, a: Array, axis: int, offset: int) -> Array:

@@ -73,21 +73,40 @@ def _shift(a: Array, axis: int, offset: int) -> Array:
     return jnp.roll(a, -offset, axis=axis)
 
 
-def restrict_full_weighting(fine: Array, m_int_coarse: Array) -> Array:
+def _fit(a: Array, shape: tuple[int, ...]) -> Array:
+    """Slice/zero-pad `a` to `shape` (reconcile physical padded shapes
+    across levels; only padding regions are affected)."""
+    if tuple(a.shape) == tuple(shape):
+        return a
+    a = a[tuple(slice(0, min(s, t)) for s, t in zip(a.shape, shape))]
+    pads = [(0, t - s) for s, t in zip(a.shape, shape)]
+    if any(p != (0, 0) for p in pads):
+        a = jnp.pad(a, pads)
+    return a
+
+
+def restrict_full_weighting(
+    fine: Array, m_int_coarse: Array, m_log_coarse: Array | None = None
+) -> Array:
     """Full-weighting restriction (fine -> coarse), any dimension.
 
     Separable smoothing with [1/4, 1/2, 1/4] per axis, then stride-2
     subsampling; coarse boundary points are straight injection of the
     coincident fine point (reference "COPIO VALORI SUI BORDI",
-    MultiGrid1D.cpp:44-49).
+    MultiGrid1D.cpp:44-49).  Output is fitted to the coarse physical shape
+    with zeroed padding.
     """
     a = fine
     for ax in range(fine.ndim):
         a = 0.25 * _shift(a, ax, -1) + 0.5 * a + 0.25 * _shift(a, ax, +1)
     sub = (slice(None, None, 2),) * fine.ndim
-    smoothed = a[sub]
-    injected = fine[sub]
-    return injected + m_int_coarse * (smoothed - injected)
+    cshape = m_int_coarse.shape
+    smoothed = _fit(a[sub], cshape)
+    injected = _fit(fine[sub], cshape)
+    out = injected + m_int_coarse * (smoothed - injected)
+    if m_log_coarse is not None:
+        out = out * m_log_coarse
+    return out
 
 
 def _upsample_axis(a: Array, axis: int) -> Array:
@@ -100,13 +119,18 @@ def _upsample_axis(a: Array, axis: int) -> Array:
     return jnp.moveaxis(out, 0, axis)
 
 
-def prolong_linear(coarse: Array) -> Array:
+def prolong_linear(
+    coarse: Array, fine_shape: tuple[int, ...] | None = None
+) -> Array:
     """(Bi/tri)linear prolongation coarse -> fine, any dimension; returns the
     full fine-size array (callers apply it interior-only, reference
-    Interpolate never writes the boundary)."""
+    Interpolate never writes the boundary).  When `fine_shape` is given the
+    result is fitted to that physical shape."""
     a = coarse
     for ax in range(coarse.ndim):
         a = _upsample_axis(a, ax)
+    if fine_shape is not None:
+        a = _fit(a, fine_shape)
     return a
 
 

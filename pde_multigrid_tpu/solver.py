@@ -70,7 +70,12 @@ class MultigridSolver:
         self.config = config or SolverConfig()
         dtype = jnp.dtype(self.config.dtype)
         self.hierarchy = Hierarchy.build(
-            problem, shape, num_levels=self.config.num_levels, dtype=dtype
+            problem,
+            shape,
+            num_levels=self.config.num_levels,
+            dtype=dtype,
+            pad_axis0_to=self.config.pad_axis0_to,
+            pad_last_to=self.config.pad_last_to,
         )
         self.problem = problem
         self.geoms = self.hierarchy.geoms

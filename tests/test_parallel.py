@@ -1,0 +1,98 @@
+"""Padding invariance + multi-device (GSPMD) equivalence tests on the
+8-virtual-device CPU mesh (SURVEY.md §4 implication (d): single-chip vs
+multi-chip tolerance equivalence)."""
+
+import jax
+import numpy as np
+import pytest
+
+from pde_multigrid_tpu import (
+    CycleConfig,
+    MultigridSolver,
+    Poisson,
+    Lyapunov2D,
+    SolverConfig,
+)
+from pde_multigrid_tpu.parallel import mesh as pmesh
+
+
+def _solve(problem, n, pad0=1, padl=1, cycles=2):
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 2, 2),
+        pad_axis0_to=pad0,
+        pad_last_to=padl,
+        max_cycles=cycles,
+        tol=0.0,
+    )
+    return MultigridSolver(problem, n, cfg)
+
+
+def test_padding_is_inert_poisson2d():
+    base = _solve(Poisson(2), 33).solve_to_tolerance()
+    padded = _solve(Poisson(2), 33, pad0=8, padl=16).solve_to_tolerance()
+    assert padded.v.shape == (40, 48)
+    np.testing.assert_allclose(
+        np.asarray(padded.v)[:33, :33],
+        np.asarray(base.v),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        padded.residual_l2, base.residual_l2, rtol=1e-4, atol=1e-9
+    )
+    np.testing.assert_allclose(
+        padded.error_linf, base.error_linf, rtol=1e-4
+    )
+
+
+def test_padding_is_inert_lyapunov2d():
+    base = _solve(Lyapunov2D(), 33).solve_to_tolerance()
+    padded = _solve(Lyapunov2D(), 33, pad0=4, padl=8).solve_to_tolerance()
+    np.testing.assert_allclose(
+        np.asarray(padded.v)[:33, :33],
+        np.asarray(base.v),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+
+def test_padding_is_inert_poisson1d():
+    base = _solve(Poisson(1), 65).solve_to_tolerance()
+    padded = _solve(Poisson(1), 65, pad0=8, padl=128).solve_to_tolerance()
+    assert padded.v.shape == (128,)
+    np.testing.assert_allclose(
+        np.asarray(padded.v)[:65], np.asarray(base.v), rtol=1e-6, atol=1e-7
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_solve_matches_single_device_poisson3d():
+    """The full FMG program sharded over an 8-device mesh (x-plane
+    decomposition, agglomerated coarse levels) must match the single-device
+    result to float32 tolerance."""
+    solver = _solve(Poisson(3), 17, pad0=8)
+    step = jax.jit(solver.program.solve_step)
+
+    single = step(step(solver.fresh_levels()))
+
+    mesh = pmesh.make_mesh(8)
+    levels = pmesh.shard_levels(mesh, solver.fresh_levels(), solver.geoms)
+    out = step(step(levels))
+    np.testing.assert_allclose(
+        np.asarray(out[0].v),
+        np.asarray(single[0].v),
+        rtol=2e-5,
+        atol=2e-6,
+    )
+    # finest level really was distributed
+    assert len(out[0].v.sharding.device_set) == 8
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
+def test_sharded_coarse_levels_replicated():
+    solver = _solve(Poisson(2), 33, pad0=4)
+    mesh = pmesh.make_mesh(4)
+    levels = pmesh.shard_levels(mesh, solver.fresh_levels(), solver.geoms)
+    assert len(levels[0].v.sharding.device_set) == 4
+    # coarsest (3x3 logical) must be replicated (agglomeration)
+    assert levels[-1].v.sharding.is_fully_replicated
