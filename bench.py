@@ -1,0 +1,160 @@
+"""Benchmark: 3D Poisson FMG throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: smoother DOF-updates/s/chip over a full FMG solve of the thesis 3D
+Poisson problem (BASELINE.json headline: "3D Poisson DOF-updates/s/chip per
+V-cycle").  The update count is exact — computed from the cycle structure —
+and the time is wall-clock of the whole compiled FMG program (transfers and
+residuals included), so the number is conservative end-to-end throughput,
+not a kernel microbenchmark.
+
+Timing methodology: the runtime in this environment dispatches
+asynchronously and `block_until_ready` can return before execution
+completes, so we chain `--reps` executions of the one compiled program and
+synchronize by fetching a scalar (finest-level residual norm) that the
+compiled program itself produces — a pure 4-byte device->host transfer, no
+extra compilation.
+
+vs_baseline derivation (BASELINE.md: the reference publishes charts only):
+thesis Fig. 4.4 shows the GTX 550 Ti completing 257^3 FMG(2, 3000, 3000)
+within the chart's 0-350 s envelope (~300 s).  That run performs
+  sum_l nu0 * (nu1+nu2) * S_l  ~  2.6e11
+interior point updates (S_l = interior points at levels >= l), giving
+~8.7e8 DOF-updates/s for the reference GPU.  vs_baseline = value / 8.7e8.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+REFERENCE_GPU_UPDATES_PER_S = 8.7e8
+
+
+def interior_points(shape):
+    out = 1
+    for n in shape:
+        out *= max(n - 2, 1)
+    return out
+
+
+def count_smoother_updates(shapes, kind, nu0, nu1, nu2, mu=1):
+    """Exact interior-point update count for the cycle schedule (matches
+    cycles.CycleProgram structure)."""
+    nlev = len(shapes)
+    I = [interior_points(s) for s in shapes]
+
+    def vcycle(l):
+        u = (nu1 + nu2) * I[l]
+        if l < nlev - 1:
+            u += mu * vcycle(l + 1)
+        return u
+
+    if kind == "v":
+        return vcycle(0)
+    if kind == "fmg":
+        return sum(nu0 * vcycle(l) for l in range(nlev))
+    raise ValueError(kind)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=129)
+    ap.add_argument("--nu", type=int, default=100)
+    ap.add_argument("--nu0", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--backend", default="auto")
+    ap.add_argument("--pad-last", type=int, default=1,
+                    help="pad last axis to this multiple")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pde_multigrid_tpu import (
+        CycleConfig,
+        MultigridSolver,
+        Poisson3D,
+        SolverConfig,
+    )
+
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", args.nu0, args.nu, args.nu),
+        backend=args.backend,
+        pad_last_to=args.pad_last,
+    )
+    solver = MultigridSolver(Poisson3D(), args.n, cfg)
+    program = solver.program
+
+    def bench_step(levels):
+        """One FMG solve + diagnostics, all inside one compiled program:
+        the scalar outputs double as the async-dispatch sync points."""
+        out = program.solve_step(levels)
+        l2, _ = program.residual_norms(out)
+        fin = out[0]
+        geo = solver.geoms[0]
+        exact = solver.problem.exact_solution(geo.coords(fin.v.dtype))
+        diff = (fin.v - exact) * fin.aux["m_int"]
+        err_linf = jnp.max(jnp.abs(diff))
+        return out, l2, err_linf
+
+    step = jax.jit(bench_step, donate_argnums=0)
+
+    levels = solver.fresh_levels()
+    t0 = time.perf_counter()
+    compiled = step.lower(levels).compile()
+    compile_s = time.perf_counter() - t0
+
+    # warmup: first execution includes lazy backend setup; sync via scalar
+    levels, l2, _ = compiled(levels)
+    float(l2)
+
+    # timed region: keep chaining the compiled program (the schedule does
+    # identical work regardless of the state it starts from)
+    lv = levels
+    t0 = time.perf_counter()
+    for _ in range(args.reps):
+        lv, l2, err = compiled(lv)
+    l2_final = float(l2)  # 4-byte fetch forces completion of the chain
+    elapsed = time.perf_counter() - t0
+    per_step = elapsed / args.reps
+
+    err_linf, res_l2 = float(err), l2_final
+
+    c = solver.config.cycle
+    updates = count_smoother_updates(
+        [g.shape for g in solver.geoms], "fmg", c.nu0, c.nu1, c.nu2, c.mu
+    )
+    ups = updates / per_step
+
+    print(
+        json.dumps(
+            {
+                "metric": "poisson3d_fmg_dof_updates_per_s_per_chip",
+                "value": round(ups, 1),
+                "unit": "DOF-updates/s",
+                "vs_baseline": round(ups / REFERENCE_GPU_UPDATES_PER_S, 3),
+            }
+        )
+    )
+    print(
+        f"[bench] n={args.n}^3 fmg(nu0={c.nu0},nu={c.nu1}) backend={args.backend} "
+        f"pad_last={args.pad_last} per_step={per_step:.4f}s reps={args.reps} "
+        f"compile={compile_s:.1f}s updates/step={updates:.3e} "
+        f"err_linf={err_linf:.3e} res_l2={res_l2:.3e} "
+        f"device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+    # sanity: converged to discretization accuracy (h=1/(n-1))
+    h = 1.0 / (args.n - 1)
+    assert err_linf < 50 * h * h, (
+        f"benchmark run failed to converge: err={err_linf}"
+    )
+
+
+if __name__ == "__main__":
+    main()
