@@ -68,8 +68,8 @@ def main():
     ap.add_argument("--nu0", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--backend", default="auto")
-    ap.add_argument("--pad-last", type=int, default=1,
-                    help="pad last axis to this multiple")
+    ap.add_argument("--pad-last", type=int, default=0,
+                    help="pad last axis to this multiple (0 = auto)")
     args = ap.parse_args()
 
     import jax

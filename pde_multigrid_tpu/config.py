@@ -45,7 +45,8 @@ class SolverConfig:
     # divisibility) and last-axis extent (TPU lane alignment); padding is
     # inert (mask-gated) everywhere
     pad_axis0_to: int = 1
-    pad_last_to: int = 1
+    pad_last_to: int = 0   # 0 = auto (128 when the Pallas tier is active)
+    pad_sublane_to: int = 0  # 0 = auto (8 when the Pallas tier is active)
     # convergence-mode controls (solve_to_tolerance):
     tol: float = 1e-8
     max_cycles: int = 100

@@ -134,6 +134,7 @@ def build_geometries(
     num_levels: int | None = None,
     pad_axis0_to: int = 1,
     pad_last_to: int = 1,
+    pad_sublane_to: int = 1,
 ) -> tuple[LevelGeometry, ...]:
     """Geometry for every level, finest first.
 
@@ -141,6 +142,9 @@ def build_geometries(
     (device-mesh divisibility for spatial sharding).
     pad_last_to: round the physical last-axis extent up to this multiple
     (TPU lane alignment, typically 128).
+    pad_sublane_to: round the physical second-to-last-axis extent up to
+    this multiple (TPU sublane alignment, typically 8) — required by the
+    Pallas kernel tier so HBM DMA slices land on tile boundaries.
     """
     ndim = len(shape)
     if len(domain) != ndim:
@@ -161,8 +165,13 @@ def build_geometries(
                 padded[0], math.lcm(pad_axis0_to, pad_last_to)
             )
         else:
-            padded[0] = _round_up(padded[0], pad_axis0_to)
+            m0 = pad_axis0_to
+            if ndim == 2:  # axis 0 is also the sublane axis
+                m0 = math.lcm(m0, pad_sublane_to)
+            padded[0] = _round_up(padded[0], m0)
             padded[-1] = _round_up(padded[-1], pad_last_to)
+            for d in range(1, ndim - 1):
+                padded[d] = _round_up(padded[d], pad_sublane_to)
         geoms.append(
             LevelGeometry(
                 shape=cur,
@@ -262,6 +271,7 @@ class Hierarchy:
         dtype=jnp.float32,
         pad_axis0_to: int = 1,
         pad_last_to: int = 1,
+        pad_sublane_to: int = 1,
     ) -> "Hierarchy":
         if isinstance(shape, int):
             shape = (shape,) * problem.ndim
@@ -275,6 +285,7 @@ class Hierarchy:
             num_levels,
             pad_axis0_to=pad_axis0_to,
             pad_last_to=pad_last_to,
+            pad_sublane_to=pad_sublane_to,
         )
         levels = [problem.init_level(g, dtype=dtype) for g in geoms]
         return cls(problem=problem, geoms=geoms, levels=levels)

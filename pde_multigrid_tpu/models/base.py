@@ -81,3 +81,21 @@ class ProblemBase:
         consumer masks out (interior-only updates / zero boundary residual).
         """
         return jnp.roll(a, -offset, axis=axis)
+
+    # -- Pallas kernel tier hooks (ops/pallas) -----------------------------
+    #
+    # Inside a fused relaxation kernel, coefficient fields are re-derived
+    # from in-register coordinates (iota) instead of streamed from HBM, and
+    # divisions are hoisted out of the sweep loop as precomputed
+    # reciprocals.  `kernel_precompute` runs once per kernel invocation;
+    # `kernel_update` runs per sweep per color and must be pure VPU math.
+
+    def kernel_precompute(
+        self, coords: tuple[Array, ...], geom: LevelGeometry, dtype
+    ) -> dict[str, Array]:
+        return {}
+
+    def kernel_update(
+        self, v: Array, f: Array, pre: dict[str, Array], geom: LevelGeometry
+    ) -> Array:
+        raise NotImplementedError

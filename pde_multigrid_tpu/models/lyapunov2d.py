@@ -90,3 +90,25 @@ class Lyapunov2D(ProblemBase):
         return (
             k1 * (east - v) / hx + k2 * (south - v) / hy + self.alpha * v
         )
+
+    # -- Pallas kernel tier -------------------------------------------------
+
+    def kernel_precompute(self, coords, geom: LevelGeometry, dtype):
+        x, y = coords
+        hx, hy = geom.spacing
+        a = self.a.astype(np.dtype(dtype) if dtype else np.float32)
+        k1 = (a[0, 0] * x + a[0, 1] * y).astype(dtype)
+        k2 = (a[1, 0] * x + a[1, 1] * y).astype(dtype)
+        inv_den = (
+            1.0 / (k1 * hy + k2 * hx - self.alpha * hx * hy)
+        ).astype(dtype)
+        return {
+            "a_e": (hy * k1) * inv_den,
+            "a_s": (hx * k2) * inv_den,
+            "a_f": (-hx * hy) * inv_den,
+        }
+
+    def kernel_update(self, v, f, pre, geom: LevelGeometry):
+        east = self.shift(v, 0, +1)
+        south = self.shift(v, 1, +1)
+        return east * pre["a_e"] + south * pre["a_s"] + f * pre["a_f"]

@@ -59,3 +59,18 @@ class Ode1D(ProblemBase):
         epx = aux["epx"]
         east = self.shift(v, 0, +1)
         return (east - v) / h - v / epx
+
+    # -- Pallas kernel tier -------------------------------------------------
+
+    def kernel_precompute(self, coords, geom: LevelGeometry, dtype):
+        (x,) = coords
+        h = geom.spacing[0]
+        epx = jnp.exp(x) + 1.0
+        return {
+            "a_e": epx / (epx + h),  # coefficient of the east neighbor
+            "a_f": -(h * epx) / (epx + h),  # coefficient of f
+        }
+
+    def kernel_update(self, v, f, pre, geom: LevelGeometry):
+        east = self.shift(v, v.ndim - 1, +1)
+        return east * pre["a_e"] + f * pre["a_f"]

@@ -93,6 +93,22 @@ class Poisson(ProblemBase):
             ) * w
         return out
 
+    # -- Pallas kernel tier -------------------------------------------------
+
+    def kernel_update(self, v, f, pre, geom: LevelGeometry):
+        # constant-coefficient: weights and the reciprocal fold to scalars.
+        # Spatial axes are the LAST geom.ndim axes of v (1D problems run
+        # as (1, N) inside kernels).
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        inv_den = 1.0 / (2.0 * sum(inv_h2))
+        off = v.ndim - geom.ndim
+        num = -f
+        for ax, w in enumerate(inv_h2):
+            num = num + (
+                self.shift(v, off + ax, -1) + self.shift(v, off + ax, +1)
+            ) * w
+        return num * inv_den
+
 
 def Poisson3D(domain=((0.0, 1.0),) * 3) -> Poisson:
     """The thesis 3D Poisson parity case (Poisson3DSolver.cpp:14-20)."""

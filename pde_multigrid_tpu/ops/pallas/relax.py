@@ -1,0 +1,329 @@
+"""Fused red-black Gauss-Seidel relaxation kernels (Pallas/Mosaic, TPU).
+
+This is the native-kernel tier replacing the reference's CUDA relaxation
+kernels (CUDARelax, e.g. MultiGrid3D.cu:609-675) — redesigned for TPU
+rather than translated:
+
+  * The reference launches one kernel per sweep and round-trips HBM(GDDR)
+    twice per sweep; its in-kernel `__syncthreads()` between colors is a
+    cross-block race (SURVEY.md §2.7.1).
+  * Here, masks and coefficient fields are *recomputed in registers* from
+    `broadcasted_iota` (zero HBM traffic), divisions are hoisted into
+    per-invocation reciprocals, and sweeps are batched:
+
+    - RESIDENT kernel: the whole level lives in VMEM; ALL nu sweeps run in
+      one kernel invocation with a single HBM read and write.  This covers
+      every coarse level and entire problems up to ~VMEM capacity.
+    - SLAB kernel: levels too big for VMEM are processed in axis-0 slabs.
+      Each grid step DMAs a slab plus a 2T-row halo from HBM, runs T full
+      red-black sweeps locally (trapezoidal/overlapped tiling: stale-halo
+      corruption advances at most 2 rows per sweep, so a 2T halo keeps the
+      emitted B rows exact), and writes back the B owned rows.  HBM traffic
+      per sweep drops from ~5 arrays (jnp tier) to ~(2 reads + 1 write)/T.
+
+Correctness contract: bit-for-bit the same *algorithm* as ops.stencil
+.relax_rbgs (two colored half-sweeps, reference ordering); float results
+differ only by reciprocal-vs-divide rounding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pde_multigrid_tpu.grid import LevelGeometry
+
+Array = jax.Array
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def tile_padded_bytes(shape: Sequence[int], itemsize: int = 4) -> int:
+    """Physical VMEM footprint of an array under Mosaic (8, 128) tiling of
+    the last two dims (f32)."""
+    s = list(shape)
+    if len(s) == 1:
+        s = [1] + s
+    s[-1] = _round_up(s[-1], 128)
+    s[-2] = _round_up(s[-2], 8)
+    out = itemsize
+    for d in s:
+        out *= d
+    return out
+
+
+def _coords_and_masks(problem, geom: LevelGeometry, shape, row0, dtype):
+    """In-register coordinates, red/black interior masks for a local array
+    of `shape` whose axis-0 rows start at global row `row0` (traced or 0).
+
+    Returns (pre, m_red, m_black)."""
+    nd = len(shape)
+    iotas = [
+        lax.broadcasted_iota(jnp.int32, shape, d) for d in range(nd)
+    ]
+    gidx = list(iotas)
+    gidx[0] = gidx[0] + row0
+    coords = []
+    for d in range(nd):
+        lo, hi = geom.domain[d]
+        x = jnp.asarray(geom.origin[d], dtype) + gidx[d].astype(
+            dtype
+        ) * jnp.asarray(geom.spacing[d], dtype)
+        coords.append(jnp.clip(x, min(lo, hi), max(lo, hi)))
+    interior = None
+    for d in range(nd):
+        ok = (gidx[d] >= 1) & (gidx[d] <= geom.shape[d] - 2)
+        interior = ok if interior is None else interior & ok
+    par = sum(gidx) % 2
+    m_red = ((par == 0) & interior).astype(dtype)
+    m_black = ((par == 1) & interior).astype(dtype)
+    pre = problem.kernel_precompute(tuple(coords), geom, dtype)
+    return pre, m_red, m_black
+
+
+def _sweeps(problem, geom, v, f, pre, m_red, m_black, nsweeps):
+    def one(_, v):
+        v = v + m_red * (problem.kernel_update(v, f, pre, geom) - v)
+        v = v + m_black * (problem.kernel_update(v, f, pre, geom) - v)
+        return v
+
+    if nsweeps == 1:
+        return one(0, v)
+    return lax.fori_loop(0, nsweeps, one, v)
+
+
+# ----------------------------------------------------------- resident kernel
+
+
+def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
+    """relax(v, f, nsweeps) with the whole level resident in VMEM."""
+    shape = geom.padded_shape
+    kshape = shape if len(shape) > 1 else (1,) + tuple(shape)
+
+    def kernel(v_ref, f_ref, o_ref, *, nsweeps):
+        if len(shape) == 1:
+            # 1D problems run as (1, N); global index is the lane index
+            gx = lax.broadcasted_iota(jnp.int32, kshape, 1)
+            lo, hi = geom.domain[0]
+            x = jnp.asarray(geom.origin[0], dtype) + gx.astype(
+                dtype
+            ) * jnp.asarray(geom.spacing[0], dtype)
+            x = jnp.clip(x, min(lo, hi), max(lo, hi))
+            interior = (gx >= 1) & (gx <= geom.shape[0] - 2)
+            par = gx % 2
+            m_red = ((par == 0) & interior).astype(dtype)
+            m_black = ((par == 1) & interior).astype(dtype)
+            pre = problem.kernel_precompute((x,), geom, dtype)
+        else:
+            pre, m_red, m_black = _coords_and_masks(
+                problem, geom, kshape, 0, dtype
+            )
+        o_ref[:] = _sweeps(
+            problem,
+            geom,
+            v_ref[:],
+            f_ref[:],
+            pre,
+            m_red,
+            m_black,
+            nsweeps,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=jax.ShapeDtypeStruct(kshape, dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+    def relax(v, f, nsweeps: int):
+        call = build(nsweeps)
+        if len(shape) == 1:
+            return call(v[None, :], f[None, :])[0]
+        return call(v, f)
+
+    return relax
+
+
+# --------------------------------------------------------------- slab kernel
+
+
+def make_slab_relax(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    slab_rows: int,
+    sweeps_per_call: int,
+    interpret=False,
+):
+    """relax(v, f, nsweeps) processing axis-0 slabs with trapezoidal halos.
+
+    Each pallas grid step owns `slab_rows` (B) output rows and locally runs
+    `sweeps_per_call` (T) red-black sweeps on B + 4T rows streamed from HBM
+    (2T halo per side; stale-halo corruption advances <= 2 rows/sweep so
+    the B owned rows stay exact).  nsweeps is decomposed into
+    ceil(nsweeps/T) kernel invocations chained by lax.fori_loop.
+    """
+    shape = geom.padded_shape
+    nd = len(shape)
+    assert nd >= 2, "slab kernel requires ndim >= 2"
+    X = shape[0]
+    B = slab_rows
+    T = sweeps_per_call
+    halo = 2 * T
+    ext = B + 2 * halo
+    assert X >= ext, f"axis0 extent {X} smaller than slab+halos {ext}"
+    # the grid covers full B-row slabs only; remainder rows must all be
+    # boundary/padding (true for 2^k+1 grids with power-of-two B) and are
+    # passed through unchanged outside the kernel
+    nblk = X // B
+    rem_start = nblk * B
+    assert rem_start >= geom.shape[0] - 1, (
+        f"slab remainder rows [{rem_start}, {X}) contain interior points"
+    )
+    tail = tuple(shape[1:])
+
+    def kernel(v_hbm, f_hbm, o_ref, vloc, floc, sem, *, nsweeps_here):
+        p = pl.program_id(0)
+        start = jnp.clip(p * B - halo, 0, X - ext)
+        cp_v = pltpu.make_async_copy(
+            v_hbm.at[pl.ds(start, ext)], vloc, sem.at[0]
+        )
+        cp_f = pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, ext)], floc, sem.at[1]
+        )
+        cp_v.start()
+        cp_f.start()
+        cp_v.wait()
+        cp_f.wait()
+        pre, m_red, m_black = _coords_and_masks(
+            problem, geom, (ext,) + tail, start, dtype
+        )
+        v_new = _sweeps(
+            problem,
+            geom,
+            vloc[:],
+            floc[:],
+            pre,
+            m_red,
+            m_black,
+            nsweeps_here,
+        )
+        # dynamic_slice of a value is not lowerable on TPU; go through the
+        # scratch ref (pl.ds on refs is supported)
+        vloc[:] = v_new
+        off = p * B - start
+        o_ref[:] = vloc[pl.ds(off, B)]
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps_here: int):
+        call = pl.pallas_call(
+            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            grid=(nblk,),
+            out_shape=jax.ShapeDtypeStruct((rem_start,) + tail, dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=pl.BlockSpec(
+                (B,) + tail, lambda i: (i,) + (0,) * (nd - 1)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((ext,) + tail, dtype),
+                pltpu.VMEM((ext,) + tail, dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )
+        if rem_start == X:
+            return call
+
+        def with_tail(v, f):
+            body = call(v, f)
+            return jnp.concatenate([body, v[rem_start:]], axis=0)
+
+        return with_tail
+
+    def relax(v, f, nsweeps: int):
+        n_full, rem = divmod(nsweeps, T)
+        if n_full:
+            full = build(T)
+            if n_full == 1:
+                v = full(v, f)
+            else:
+                v = lax.fori_loop(
+                    0, n_full, lambda _, vv: full(vv, f), v
+                )
+        if rem:
+            v = build(rem)(v, f)
+        return v
+
+    return relax
+
+
+# ------------------------------------------------------------------ planning
+
+RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
+SLAB_VMEM_BUDGET = 10 * 2**20
+
+
+def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
+    """Pick resident vs slab kernel for one level; None if unsupported."""
+    from pde_multigrid_tpu.models.base import ProblemBase
+
+    # a problem participates iff it overrides kernel_update
+    if type(problem).kernel_update is ProblemBase.kernel_update:
+        return None
+    shape = geom.padded_shape
+    arr_bytes = tile_padded_bytes(shape)
+    n_pre = len(
+        problem.kernel_precompute(
+            tuple(
+                jnp.zeros((1,) * max(len(shape), 2), dtype)
+                for _ in range(len(shape))
+            ),
+            geom,
+            dtype,
+        )
+    )
+    # resident footprint: v, f, out, masks(2), pre, ~2 temps
+    resident_cost = arr_bytes * (5 + n_pre + 2)
+    if resident_cost <= RESIDENT_VMEM_BUDGET:
+        return make_resident_relax(problem, geom, dtype, interpret)
+    if len(shape) == 1:
+        return None  # 1D never exceeds the budget in practice
+    # the slab kernel DMAs HBM slices along axis 0, which requires the
+    # trailing dims to sit on tile boundaries (sublane 8 / lane 128)
+    if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
+        return None
+    plane = tile_padded_bytes((1,) + tuple(shape[1:]))
+    # Measured on TPU v5e (129^3 Poisson): T=1 is the sweet spot — the
+    # kernel sits at ~75% of the HBM roofline and T>1 flips it to
+    # compute-bound (2x redundant halo compute for 2x less traffic loses).
+    # VMEM cost: two ext-row scratch buffers + the B-row output block.
+    for T in (1,):
+        for B in (16, 8, 4):
+            ext = B + 4 * T
+            if shape[0] < ext:
+                continue
+            if (shape[0] // B) * B < geom.shape[0] - 1:
+                continue  # remainder rows would contain interior points
+            if plane * (2 * ext + B) <= SLAB_VMEM_BUDGET:
+                return make_slab_relax(
+                    problem, geom, dtype, B, T, interpret
+                )
+    return None

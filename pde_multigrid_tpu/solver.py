@@ -42,21 +42,19 @@ class SolveResult:
     compile_time_s: float
 
 
-def _pick_kernels(problem, geoms, backend: str):
+def _pick_kernels(problem, geoms, backend: str, dtype):
     if backend in ("auto", "pallas"):
-        try:
-            from pde_multigrid_tpu.ops.pallas import dispatch as pallas_dispatch
+        from pde_multigrid_tpu.ops.pallas import dispatch as pallas_dispatch
 
-            k = pallas_dispatch.make_kernels(problem, geoms)
-            if k is not None:
-                return k
-            if backend == "pallas":
-                raise ValueError(
-                    f"no pallas kernels available for problem {problem.name}"
-                )
-        except ImportError:
-            if backend == "pallas":
-                raise
+        k = pallas_dispatch.make_kernels(
+            problem, geoms, dtype=dtype, force=(backend == "pallas")
+        )
+        if k is not None:
+            return k
+        if backend == "pallas":
+            raise ValueError(
+                f"no pallas kernels available for problem {problem.name}"
+            )
     return JnpKernels(problem, geoms)
 
 
@@ -69,17 +67,33 @@ class MultigridSolver:
     ):
         self.config = config or SolverConfig()
         dtype = jnp.dtype(self.config.dtype)
+        # auto padding: the Pallas kernel tier needs tile-aligned physical
+        # shapes (sublane 8, lane 128); resolve before building the arrays
+        pad_last, pad_sub = self.config.pad_last_to, self.config.pad_sublane_to
+        if pad_last == 0 or pad_sub == 0:
+            from pde_multigrid_tpu.ops.pallas import dispatch as _pd
+
+            pallas_active = self.config.backend in ("auto", "pallas") and (
+                self.config.backend == "pallas" or _pd.is_tpu_backend()
+            ) and dtype == jnp.dtype("float32")
+            if pad_last == 0:
+                pad_last = 128 if pallas_active else 1
+            if pad_sub == 0:
+                pad_sub = 8 if pallas_active else 1
         self.hierarchy = Hierarchy.build(
             problem,
             shape,
             num_levels=self.config.num_levels,
             dtype=dtype,
             pad_axis0_to=self.config.pad_axis0_to,
-            pad_last_to=self.config.pad_last_to,
+            pad_last_to=pad_last,
+            pad_sublane_to=pad_sub,
         )
         self.problem = problem
         self.geoms = self.hierarchy.geoms
-        kernels = _pick_kernels(problem, self.geoms, self.config.backend)
+        kernels = _pick_kernels(
+            problem, self.geoms, self.config.backend, dtype
+        )
         self.program = CycleProgram(
             problem, self.geoms, self.config.cycle, kernels
         )
