@@ -27,12 +27,24 @@ class CycleConfig:
     nu1: int = 2
     nu2: int = 2
     mu: int = 1
+    # smoother: "rbgs" (reference semantics), "jacobi" (damped, omega),
+    # "line-K" (zebra line relaxation along axis K — anisotropy-robust,
+    # needs a problem with line_system support), or "exact" (problems with
+    # a direct solver, e.g. the 1D ODE's associative-scan solve)
+    smoother: str = "rbgs"
+    omega: float = 1.0
 
     def __post_init__(self):
         if self.kind not in ("v", "w", "fmg"):
             raise ValueError(f"unknown cycle kind {self.kind!r}")
         if min(self.nu0, self.nu1, self.nu2, self.mu) < 0:
             raise ValueError("cycle counts must be non-negative")
+        ok = self.smoother in ("rbgs", "jacobi", "exact") or (
+            self.smoother.startswith("line-")
+            and self.smoother[5:].isdigit()
+        )
+        if not ok:
+            raise ValueError(f"unknown smoother {self.smoother!r}")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,13 +39,52 @@ class JnpKernels:
     """Default kernel tier: problem-defined pointwise math + generic
     transfer ops from `ops.stencil`, fully fused by XLA."""
 
-    def __init__(self, problem, geoms: Sequence[LevelGeometry]):
+    def __init__(
+        self,
+        problem,
+        geoms: Sequence[LevelGeometry],
+        smoother: str = "rbgs",
+        omega: float = 1.0,
+    ):
         self.problem = problem
         self.geoms = tuple(geoms)
+        self.smoother = smoother
+        self.omega = omega
+        self._line_builders: dict[int, Any] = {}
 
     def relax(self, l: int, v, f, aux, nsweeps: int):
         g = self.geoms[l]
+        if self.smoother == "exact":
+            if not hasattr(self.problem, "exact_solve"):
+                raise ValueError(
+                    f"problem {self.problem.name} has no exact_solve"
+                )
+            return self.problem.exact_solve(v, f, g, aux)
+        if self.smoother.startswith("line-"):
+            axis = int(self.smoother[5:])
+            if not hasattr(self.problem, "line_system"):
+                raise ValueError(
+                    f"problem {self.problem.name} has no line_system; "
+                    "line relaxation unavailable"
+                )
+            if l not in self._line_builders:
+                self._line_builders[l] = self.problem.line_system(axis, g)
+            zebra_axis = (axis + 1) % g.ndim
+            return stencil.relax_zebra_line(
+                self._line_builders[l],
+                v,
+                f,
+                aux["m_int"],
+                axis,
+                zebra_axis,
+                _zebra_masks(g, zebra_axis, v.dtype),
+                nsweeps,
+            )
         upd = lambda v_, f_: self.problem.relax_update(v_, f_, g, aux)
+        if self.smoother == "jacobi":
+            return stencil.relax_jacobi(
+                upd, v, f, aux["m_int"], self.omega, nsweeps
+            )
         return stencil.relax_rbgs(
             upd, v, f, aux["m_red"], aux["m_black"], nsweeps
         )
@@ -86,7 +125,9 @@ class CycleProgram:
         self.problem = problem
         self.geoms = tuple(geoms)
         self.config = config
-        self.kernels = kernels or JnpKernels(problem, geoms)
+        self.kernels = kernels or JnpKernels(
+            problem, geoms, config.smoother, config.omega
+        )
 
     # -- building blocks ---------------------------------------------------
 
@@ -168,3 +209,18 @@ class CycleProgram:
 
 def _set(levels: Levels, i: int, new: Level) -> Levels:
     return levels[:i] + (new,) + levels[i + 1 :]
+
+
+def _zebra_masks(geom: LevelGeometry, zebra_axis: int, dtype):
+    """(even, odd) parity masks along one axis, broadcastable.
+
+    numpy constants on purpose: they embed as program literals rather
+    than lifted closure inputs (which break AOT lowered+compiled calls)."""
+    import numpy as np
+
+    n = geom.padded_shape[zebra_axis]
+    shape = [1] * geom.ndim
+    shape[zebra_axis] = n
+    par = (np.arange(n) % 2).reshape(shape)
+    npdt = np.dtype(dtype)
+    return ((par == 0).astype(npdt), (par == 1).astype(npdt))

@@ -60,6 +60,58 @@ class Ode1D(ProblemBase):
         east = self.shift(v, 0, +1)
         return (east - v) / h - v / epx
 
+    # -- exact O(log N) solve -----------------------------------------------
+
+    def exact_solve(self, v, f, geom: LevelGeometry, aux):
+        """Solve the discrete system exactly in O(log N) depth.
+
+        The relaxation fixed point is the backward affine recurrence
+        v[j] = A_j v[j+1] + B_j (the same local solve the reference runs
+        nu=1000 sweeps of, Poisson1DSolver.cpp:15-18).  On TPU the whole
+        recurrence collapses to one `lax.associative_scan` over composed
+        affine maps — the idiomatic replacement for sequential
+        Gauss-Seidel in 1D, also reaching machine-precision residuals in
+        one application.  Boundary/padded entries become constant maps, so
+        Dirichlet data anchors the scan with no special cases.
+        """
+        import numpy as np
+
+        h = geom.spacing[0]
+        n = geom.shape[0]
+        dtype = v.dtype
+        npdt = np.dtype(dtype)
+        # numpy constants: embed as literals (not lifted closure inputs)
+        i = np.arange(v.shape[0])
+        lo, hi = geom.domain[0]
+        x = np.clip(
+            np.asarray(geom.origin[0], npdt) + i.astype(npdt) * npdt.type(h),
+            min(lo, hi),
+            max(lo, hi),
+        )
+        epx = np.exp(x) + 1.0
+        interior = (i >= 1) & (i <= n - 2)
+        a = jnp.asarray(
+            np.where(interior, epx / (epx + h), 0.0).astype(npdt)
+        )
+        bf = jnp.asarray((-h * epx / (epx + h)).astype(npdt))
+        m_int = jnp.asarray(interior.astype(npdt))
+        b = jnp.where(m_int > 0, f * bf, v)  # const map -> boundary anchor
+
+        def compose(left, right):
+            # (right-to-left application): result = left applied after...
+            # we need suffix composition f_j(f_{j+1}(...)), and
+            # associative_scan(reverse=True) reduces with the LATER element
+            # as the left operand, so compose must apply the left operand
+            # (later index) FIRST: (a2,b2)o(a1,b1) with left=(a1,b1).
+            a1, b1 = left
+            a2, b2 = right
+            return a2 * a1, a2 * b1 + b2
+
+        _, v_new = jax.lax.associative_scan(
+            compose, (a, b), reverse=True
+        )
+        return v_new
+
     # -- Pallas kernel tier -------------------------------------------------
 
     def kernel_precompute(self, coords, geom: LevelGeometry, dtype):

@@ -93,6 +93,41 @@ class Poisson(ProblemBase):
             ) * w
         return out
 
+    # -- line relaxation (anisotropy-robust smoother) -----------------------
+
+    def line_system(self, line_axis: int, geom: LevelGeometry):
+        """Tridiagonal system builder for exact line solves along
+        `line_axis`: all off-line neighbor terms move to the RHS; boundary
+        and padded rows become identity equations (Dirichlet folding)."""
+        import numpy as np
+
+        ns = geom.padded_shape
+        n_log = geom.shape[line_axis]
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        a_l = inv_h2[line_axis]
+        b_diag = -2.0 * sum(inv_h2)
+        rows = np.arange(ns[line_axis])
+        inter = (rows >= 1) & (rows <= n_log - 2)
+        # NOTE: numpy (not jnp) constants — they embed as literals in the
+        # traced program instead of becoming lifted closure inputs
+        a_rows = np.where(inter, a_l, 0.0).astype(np.float32)
+        b_rows = np.where(inter, b_diag, 1.0).astype(np.float32)
+        c_rows = np.where(inter, a_l, 0.0).astype(np.float32)
+        bshape = [1] * len(ns)
+        bshape[line_axis] = ns[line_axis]
+        m_row = inter.astype(np.float32).reshape(bshape)
+
+        def build(v, f):
+            d = f
+            for ax, w in enumerate(inv_h2):
+                if ax == line_axis:
+                    continue
+                d = d - (self.shift(v, ax, -1) + self.shift(v, ax, +1)) * w
+            d = v + jnp.asarray(m_row, v.dtype) * (d - v)  # identity rows
+            return a_rows, b_rows, c_rows, d
+
+        return build
+
     # -- Pallas kernel tier -------------------------------------------------
 
     def kernel_update(self, v, f, pre, geom: LevelGeometry):

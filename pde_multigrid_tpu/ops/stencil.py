@@ -59,6 +59,105 @@ def relax_rbgs(
     return lax.fori_loop(0, nsweeps, one_sweep, v)
 
 
+def relax_jacobi(
+    update_fn: Callable[[Array, Array], Array],
+    v: Array,
+    f: Array,
+    m_int: Array,
+    omega: float,
+    nsweeps: int,
+) -> Array:
+    """`nsweeps` damped (weighted) Jacobi sweeps: all interior points move
+    simultaneously toward their local solve, scaled by omega (2/3 is the
+    classic smoothing-optimal choice for the Laplacian).
+
+    Extension beyond the reference (which implements red-black GS only);
+    BASELINE.json config 1 names a V-cycle Jacobi run."""
+
+    def one(_, v):
+        return v + (omega * m_int) * (update_fn(v, f) - v)
+
+    if nsweeps == 1:
+        return one(0, v)
+    return lax.fori_loop(0, nsweeps, one, v)
+
+
+def thomas_tridiagonal(
+    a_rows: Array, b_rows: Array, c_rows: Array, d: Array, axis: int
+) -> Array:
+    """Batched Thomas solve of tridiagonal systems along `axis`.
+
+    a/b/c are per-row coefficient vectors (length = d.shape[axis]);
+    rows with (a=0, b=1, c=0) are identity equations, which is how Dirichlet
+    boundaries and physical padding are folded in: their d carries the
+    current value and the recurrence automatically moves the boundary
+    contribution into the neighboring interior rows.
+
+    TPU-native shape: the scan is sequential along the line axis but each
+    step is elementwise over all remaining axes — every line in the grid is
+    solved simultaneously on the VPU.
+    """
+    d = jnp.moveaxis(d, axis, 0)
+    n = d.shape[0]
+    bshape = (n,) + (1,) * (d.ndim - 1)
+    a_b = jnp.asarray(a_rows, d.dtype).reshape(bshape)
+    b_b = jnp.asarray(b_rows, d.dtype).reshape(bshape)
+    c_b = jnp.asarray(c_rows, d.dtype).reshape(bshape)
+    zeros = jnp.zeros(d.shape[1:], d.dtype)
+
+    def fwd(carry, xs):
+        cp_prev, dp_prev = carry
+        a_i, b_i, c_i, d_i = xs
+        denom = b_i - a_i * cp_prev
+        cp = c_i / denom
+        dp = (d_i - a_i * dp_prev) / denom
+        return (cp, dp), (cp, dp)
+
+    (_, _), (cps, dps) = lax.scan(fwd, (zeros, zeros), (a_b, b_b, c_b, d))
+
+    def bwd(carry, xs):
+        cp, dp = xs
+        x = dp - cp * carry
+        return x, x
+
+    _, xs = lax.scan(bwd, zeros, (cps, dps), reverse=True)
+    return jnp.moveaxis(xs, 0, axis)
+
+
+def relax_zebra_line(
+    line_system_fn,
+    v: Array,
+    f: Array,
+    m_int: Array,
+    line_axis: int,
+    zebra_axis: int,
+    zebra_masks: tuple[Array, Array],
+    nsweeps: int,
+) -> Array:
+    """Zebra line relaxation: solve whole grid lines along `line_axis`
+    exactly (batched Thomas), alternating the two colors of lines by parity
+    along `zebra_axis` — the line analogue of red-black ordering, for
+    grids with strong coupling in one direction (anisotropy).
+
+    `line_system_fn(v, f) -> (a_rows, b_rows, c_rows, d)` builds the
+    tridiagonal system with all off-line neighbor terms moved to the RHS.
+    Extension beyond the reference (BASELINE.json config 5)."""
+
+    def half(v, m_zebra):
+        a_r, b_r, c_r, d = line_system_fn(v, f)
+        sol = thomas_tridiagonal(a_r, b_r, c_r, d, line_axis)
+        return v + (m_zebra * m_int) * (sol - v)
+
+    def one(_, v):
+        v = half(v, zebra_masks[0])
+        v = half(v, zebra_masks[1])
+        return v
+
+    if nsweeps == 1:
+        return one(0, v)
+    return lax.fori_loop(0, nsweeps, one, v)
+
+
 def residual(
     apply_op: Callable[[Array], Array], v: Array, f: Array, m_int: Array
 ) -> Array:

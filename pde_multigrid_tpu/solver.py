@@ -42,8 +42,10 @@ class SolveResult:
     compile_time_s: float
 
 
-def _pick_kernels(problem, geoms, backend: str, dtype):
-    if backend in ("auto", "pallas"):
+def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
+    # the fused Pallas tier implements the reference smoother (RBGS);
+    # jacobi/line smoothers run on the jnp tier
+    if backend in ("auto", "pallas") and cycle.smoother == "rbgs":
         from pde_multigrid_tpu.ops.pallas import dispatch as pallas_dispatch
 
         k = pallas_dispatch.make_kernels(
@@ -55,7 +57,7 @@ def _pick_kernels(problem, geoms, backend: str, dtype):
             raise ValueError(
                 f"no pallas kernels available for problem {problem.name}"
             )
-    return JnpKernels(problem, geoms)
+    return JnpKernels(problem, geoms, cycle.smoother, cycle.omega)
 
 
 class MultigridSolver:
@@ -92,7 +94,11 @@ class MultigridSolver:
         self.problem = problem
         self.geoms = self.hierarchy.geoms
         kernels = _pick_kernels(
-            problem, self.geoms, self.config.backend, dtype
+            problem,
+            self.geoms,
+            self.config.backend,
+            dtype,
+            self.config.cycle,
         )
         self.program = CycleProgram(
             problem, self.geoms, self.config.cycle, kernels
