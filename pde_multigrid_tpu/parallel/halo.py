@@ -1,0 +1,129 @@
+"""Explicit halo-exchange relaxation under `jax.shard_map`.
+
+This is the thesis ch.5 multi-GPU sketch made real, TPU-style (SURVEY.md
+§2.6/§5): each device owns a contiguous slab of axis-0 rows of a level;
+red-black sweeps run locally; one `lax.ppermute` pair per T-sweep chunk
+moves 2T-row halos between ring neighbors over ICI.
+
+Correctness uses the same trapezoidal argument as the Pallas slab kernel
+(ops/pallas/relax.py): stale-halo corruption advances at most 2 rows per
+red+black sweep, so a 2T halo keeps the owned rows exact for T sweeps.
+Ring wraparound halos at the domain ends carry garbage, which the global
+interior masks (rebuilt from the traced global row offset) never read.
+
+The RHS halo is exchanged once per relax leg (f is constant); only v moves
+per chunk.  Communication volume per sweep: 2 * (2T planes) / T = 4 planes
+amortized — independent of local size, so it vanishes for fat shards.
+XLA's async collective scheduling is free to overlap the ppermute with the
+interior update, since the owned-core rows are data-independent of the
+incoming halo until the combine.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+from pde_multigrid_tpu.grid import LevelGeometry
+from pde_multigrid_tpu.ops.pallas.relax import _coords_and_masks
+from pde_multigrid_tpu.parallel.mesh import SHARD_AXIS
+
+Array = jax.Array
+
+
+def make_sharded_relax(
+    problem,
+    geom: LevelGeometry,
+    mesh,
+    dtype,
+    sweeps_per_exchange: int = 1,
+):
+    """Build relax(v, f, nsweeps) running under shard_map on `mesh`.
+
+    v/f are global arrays sharded along axis 0 (P('x')); the result keeps
+    that sharding."""
+    X = geom.padded_shape[0]
+    n = mesh.shape[SHARD_AXIS]
+    if X % n:
+        raise ValueError(f"axis-0 extent {X} not divisible by mesh size {n}")
+    x_loc = X // n
+    T = sweeps_per_exchange
+    halo = 2 * T
+    if x_loc < halo:
+        raise ValueError(
+            f"local extent {x_loc} smaller than halo {halo}; agglomerate"
+        )
+    nd = geom.ndim
+    spec = P(SHARD_AXIS, *([None] * (nd - 1)))
+    fwd = [(j, (j + 1) % n) for j in range(n)]
+    bwd = [(j, (j - 1) % n) for j in range(n)]
+
+    def _exchange(arr_loc):
+        """(from_left, from_right) 2T-row halos from ring neighbors."""
+        from_left = lax.ppermute(arr_loc[-halo:], SHARD_AXIS, fwd)
+        from_right = lax.ppermute(arr_loc[:halo], SHARD_AXIS, bwd)
+        return from_left, from_right
+
+    def _sweeps(v_ext, f_ext, pre, m_red, m_black, t):
+        def one(_, v):
+            v = v + m_red * (problem.kernel_update(v, f_ext, pre, geom) - v)
+            v = v + m_black * (
+                problem.kernel_update(v, f_ext, pre, geom) - v
+            )
+            return v
+
+        if t == 1:
+            return one(0, v_ext)
+        return lax.fori_loop(0, t, one, v_ext)
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        n_chunks, rem = divmod(nsweeps, T)
+
+        def local_relax(v_loc, f_loc):
+            i = lax.axis_index(SHARD_AXIS)
+            g0 = i * x_loc - halo  # global row of ext row 0
+            ext_shape = (x_loc + 2 * halo,) + tuple(
+                geom.padded_shape[1:]
+            )
+            pre, m_red, m_black = _coords_and_masks(
+                problem, geom, ext_shape, g0, dtype
+            )
+            fl, fr = _exchange(f_loc)  # f halos: once per leg
+            f_ext = jnp.concatenate([fl, f_loc, fr], axis=0)
+
+            def chunk(v_loc, t):
+                vl, vr = _exchange(v_loc)
+                v_ext = jnp.concatenate([vl, v_loc, vr], axis=0)
+                v_ext = _sweeps(v_ext, f_ext, pre, m_red, m_black, t)
+                return v_ext[halo : halo + x_loc]
+
+            if n_chunks:
+                v_loc = lax.fori_loop(
+                    0, n_chunks, lambda _, v: chunk(v, T), v_loc
+                )
+            if rem:
+                v_loc = chunk(v_loc, rem)
+            return v_loc
+
+        return jax.shard_map(
+            local_relax,
+            mesh=mesh,
+            in_specs=(spec, spec),
+            out_specs=spec,
+        )
+
+    def relax(v, f, nsweeps: int):
+        return build(nsweeps)(v, f)
+
+    return relax
+
+
+def sharded_norm_l2(r: Array, n_log: float) -> Array:
+    """Mean-L2 norm of a (possibly sharded) residual; under jit the sum
+    lowers to per-shard partials + a psum over the mesh."""
+    return jnp.sqrt(jnp.sum(r * r) / n_log)

@@ -61,13 +61,32 @@ def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
 
 
 class MultigridSolver:
+    """Single-chip or multi-chip multigrid solver.
+
+    Pass `mesh` (a 1-axis jax.sharding.Mesh) for spatial domain
+    decomposition: fine levels shard along axis 0 with explicit
+    shard_map+ppermute halo-exchange relaxation; small levels agglomerate
+    to a replicated layout (parallel/).  pad_axis0_to is forced to the
+    mesh size for divisibility."""
+
     def __init__(
         self,
         problem,
         shape: int | tuple[int, ...],
         config: SolverConfig | None = None,
+        mesh=None,
     ):
         self.config = config or SolverConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from pde_multigrid_tpu.parallel.mesh import SHARD_AXIS
+
+            n_dev = mesh.shape[SHARD_AXIS]
+            if self.config.pad_axis0_to % n_dev:
+                self.config = dataclasses.replace(
+                    self.config,
+                    pad_axis0_to=self.config.pad_axis0_to * n_dev,
+                )
         dtype = jnp.dtype(self.config.dtype)
         # auto padding: the Pallas kernel tier needs tile-aligned physical
         # shapes (sublane 8, lane 128); resolve before building the arrays
@@ -93,13 +112,25 @@ class MultigridSolver:
         )
         self.problem = problem
         self.geoms = self.hierarchy.geoms
-        kernels = _pick_kernels(
-            problem,
-            self.geoms,
-            self.config.backend,
-            dtype,
-            self.config.cycle,
-        )
+        if mesh is not None:
+            from pde_multigrid_tpu.parallel.sharded import ShardedKernels
+
+            kernels = ShardedKernels(
+                problem,
+                self.geoms,
+                mesh,
+                dtype=dtype,
+                smoother=self.config.cycle.smoother,
+                omega=self.config.cycle.omega,
+            )
+        else:
+            kernels = _pick_kernels(
+                problem,
+                self.geoms,
+                self.config.backend,
+                dtype,
+                self.config.cycle,
+            )
         self.program = CycleProgram(
             problem, self.geoms, self.config.cycle, kernels
         )
@@ -114,9 +145,14 @@ class MultigridSolver:
         """Freshly initialized levels. Rebuilt per call because the jitted
         steps donate their input buffers (in-place update on device)."""
         dtype = jnp.dtype(self.config.dtype)
-        return tuple(
+        levels = tuple(
             self.problem.init_level(g, dtype=dtype) for g in self.geoms
         )
+        if self.mesh is not None:
+            from pde_multigrid_tpu.parallel.mesh import shard_levels
+
+            levels = shard_levels(self.mesh, levels, self.geoms)
+        return levels
 
     # -- main entry points -------------------------------------------------
 

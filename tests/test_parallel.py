@@ -88,6 +88,65 @@ def test_sharded_solve_matches_single_device_poisson3d():
     assert len(out[0].v.sharding.device_set) == 8
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize(
+    "prob,n",
+    [(Poisson(3), 33), (Poisson(2), 65), (Lyapunov2D(), 65)],
+    ids=lambda p: getattr(p, "name", str(p)),
+)
+def test_explicit_halo_exchange_matches_single_device(prob, n):
+    """The shard_map + ppermute halo-exchange path (parallel/halo.py) must
+    reproduce the single-device solve; only reciprocal-vs-divide rounding
+    may differ (Poisson is bit-identical)."""
+    from pde_multigrid_tpu.parallel.sharded import ShardedKernels
+
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 2, 2), max_cycles=2, tol=0.0
+    )
+    single = MultigridSolver(prob, n, cfg).solve_to_tolerance()
+    mesh = pmesh.make_mesh(8)
+    ms = MultigridSolver(prob, n, cfg, mesh=mesh)
+    assert isinstance(ms.program.kernels, ShardedKernels)
+    assert any(f is not None for f in ms.program.kernels._sharded_relax)
+    sharded = ms.solve_to_tolerance()
+    v1, v2 = np.asarray(single.v), np.asarray(sharded.v)
+    sl = tuple(slice(0, min(a, b)) for a, b in zip(v1.shape, v2.shape))
+    np.testing.assert_allclose(v2[sl], v1[sl], rtol=2e-5, atol=2e-6)
+    assert abs(sharded.error_linf - single.error_linf) < 1e-6
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_halo_exchange_multi_chunk_sweeps():
+    """T sweeps per exchange (trapezoidal chunking) stays exact."""
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.parallel import halo
+    from pde_multigrid_tpu.ops import stencil
+    import jax.numpy as jnp
+
+    prob = Poisson(2)
+    mesh = pmesh.make_mesh(8)
+    h = Hierarchy.build(prob, 65, pad_axis0_to=8)
+    lvl, geom = h.levels[0], h.geoms[0]
+    rng = np.random.default_rng(5)
+    v = jnp.asarray(rng.standard_normal(geom.padded_shape), jnp.float32)
+    f = jnp.asarray(rng.standard_normal(geom.padded_shape), jnp.float32)
+    want = stencil.relax_rbgs(
+        lambda vv, ff: prob.relax_update(vv, ff, geom, lvl.aux),
+        v, f, lvl.aux["m_red"], lvl.aux["m_black"], 5,
+    )
+    fn = halo.make_sharded_relax(
+        prob, geom, mesh, jnp.dtype("float32"), sweeps_per_exchange=2
+    )
+    got = fn(
+        jax.device_put(v, pmesh.level_sharding(mesh, geom)),
+        jax.device_put(f, pmesh.level_sharding(mesh, geom)),
+        5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-6
+    )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_sharded_coarse_levels_replicated():
     solver = _solve(Poisson(2), 33, pad0=4)
