@@ -18,7 +18,7 @@ schedulers over the level hierarchy, traced once and compiled by XLA.
 from pde_multigrid_tpu.grid import Level, LevelGeometry, Hierarchy
 from pde_multigrid_tpu.config import CycleConfig, SolverConfig
 from pde_multigrid_tpu.solver import MultigridSolver, SolveResult
-from pde_multigrid_tpu.models import Ode1D, Lyapunov2D, Poisson, Poisson3D
+from pde_multigrid_tpu.models import Ode1D, Lyapunov2D, Poisson, Poisson3D, VariableCoefficientPoisson
 
 __version__ = "0.1.0"
 
@@ -34,4 +34,5 @@ __all__ = [
     "Lyapunov2D",
     "Poisson",
     "Poisson3D",
+    "VariableCoefficientPoisson",
 ]

@@ -33,6 +33,10 @@ class CycleConfig:
     # a direct solver, e.g. the 1D ODE's associative-scan solve)
     smoother: str = "rbgs"
     omega: float = 1.0
+    # coarse-grid operators: "rediscretize" (reference semantics — each
+    # level re-derives the PDE at its own spacing) or "galerkin" (A_c =
+    # R A_f P via the implicit-stencil layer, ops/galerkin.py)
+    coarse_operator: str = "rediscretize"
 
     def __post_init__(self):
         if self.kind not in ("v", "w", "fmg"):
@@ -45,6 +49,10 @@ class CycleConfig:
         )
         if not ok:
             raise ValueError(f"unknown smoother {self.smoother!r}")
+        if self.coarse_operator not in ("rediscretize", "galerkin"):
+            raise ValueError(
+                f"unknown coarse_operator {self.coarse_operator!r}"
+            )
 
 
 @dataclasses.dataclass(frozen=True)

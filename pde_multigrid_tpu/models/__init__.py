@@ -11,5 +11,6 @@ from pde_multigrid_tpu.models.base import Problem
 from pde_multigrid_tpu.models.ode1d import Ode1D
 from pde_multigrid_tpu.models.lyapunov2d import Lyapunov2D
 from pde_multigrid_tpu.models.poisson import Poisson, Poisson3D
+from pde_multigrid_tpu.models.varcoef import VariableCoefficientPoisson
 
-__all__ = ["Problem", "Ode1D", "Lyapunov2D", "Poisson", "Poisson3D"]
+__all__ = ["Problem", "Ode1D", "Lyapunov2D", "Poisson", "Poisson3D", "VariableCoefficientPoisson"]

@@ -91,6 +91,23 @@ class Lyapunov2D(ProblemBase):
             k1 * (east - v) / hx + k2 * (south - v) / hy + self.alpha * v
         )
 
+    # -- implicit-stencil operator form (ops/galerkin.py) -------------------
+
+    def stencil_operator(self, geom: LevelGeometry, aux, dtype=jnp.float32):
+        """The one-sided 3-point advection-reaction stencil with spatially
+        varying coefficients (center, E=+x, S=+y)."""
+        from pde_multigrid_tpu.ops.galerkin import StencilOperator
+
+        hx, hy = geom.spacing
+        k1, k2 = aux["k1"], aux["k2"]
+        center = -k1 / hx - k2 / hy + self.alpha
+        coeffs = jnp.stack(
+            [center, k1 / hx, k2 / hy], axis=-1
+        ).astype(dtype)
+        return StencilOperator(
+            offsets=((0, 0), (1, 0), (0, 1)), coeffs=coeffs
+        )
+
     # -- Pallas kernel tier -------------------------------------------------
 
     def kernel_precompute(self, coords, geom: LevelGeometry, dtype):

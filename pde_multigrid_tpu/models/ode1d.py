@@ -60,6 +60,19 @@ class Ode1D(ProblemBase):
         east = self.shift(v, 0, +1)
         return (east - v) / h - v / epx
 
+    # -- implicit-stencil operator form (ops/galerkin.py) -------------------
+
+    def stencil_operator(self, geom: LevelGeometry, aux, dtype=jnp.float32):
+        """The 2-point forward-difference stencil (center, E=+1)."""
+        from pde_multigrid_tpu.ops.galerkin import StencilOperator
+
+        h = geom.spacing[0]
+        epx = aux["epx"]
+        center = -1.0 / h - 1.0 / epx
+        east = jnp.full_like(epx, 1.0 / h)
+        coeffs = jnp.stack([center, east], axis=-1).astype(dtype)
+        return StencilOperator(offsets=((0,), (1,)), coeffs=coeffs)
+
     # -- exact O(log N) solve -----------------------------------------------
 
     def exact_solve(self, v, f, geom: LevelGeometry, aux):

@@ -93,6 +93,27 @@ class Poisson(ProblemBase):
             ) * w
         return out
 
+    # -- implicit-stencil operator form (ops/galerkin.py) -------------------
+
+    def stencil_operator(self, geom: LevelGeometry, aux, dtype=jnp.float32):
+        """The (2d+1)-point Laplacian as a StencilOperator with
+        broadcastable constant coefficients."""
+        from pde_multigrid_tpu.ops.galerkin import StencilOperator
+
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        offsets = [(0,) * self.ndim]
+        coeffs = [-2.0 * sum(inv_h2)]
+        for ax, w in enumerate(inv_h2):
+            for s in (-1, +1):
+                off = [0] * self.ndim
+                off[ax] = s
+                offsets.append(tuple(off))
+                coeffs.append(w)
+        c = jnp.asarray(coeffs, dtype).reshape(
+            (1,) * self.ndim + (len(offsets),)
+        )
+        return StencilOperator(offsets=tuple(offsets), coeffs=c)
+
     # -- line relaxation (anisotropy-robust smoother) -----------------------
 
     def line_system(self, line_axis: int, geom: LevelGeometry):

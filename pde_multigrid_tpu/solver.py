@@ -112,7 +112,35 @@ class MultigridSolver:
         )
         self.problem = problem
         self.geoms = self.hierarchy.geoms
-        if mesh is not None:
+        self._galerkin_coeffs = None
+        if self.config.cycle.coarse_operator == "galerkin":
+            from pde_multigrid_tpu.ops.galerkin import (
+                GalerkinKernels,
+                galerkin_hierarchy,
+            )
+
+            if not hasattr(problem, "stencil_operator"):
+                raise ValueError(
+                    f"problem {problem.name} has no stencil_operator; "
+                    "galerkin coarsening unavailable"
+                )
+            lv0 = self.hierarchy.levels
+            ops = galerkin_hierarchy(
+                problem.stencil_operator(
+                    self.geoms[0], lv0[0].aux, dtype
+                ),
+                self.geoms,
+                [l.aux for l in lv0],
+            )
+            self._galerkin_coeffs = [op.coeffs for op in ops]
+            kernels = GalerkinKernels(
+                problem,
+                self.geoms,
+                [op.offsets for op in ops],
+                smoother=self.config.cycle.smoother,
+                omega=self.config.cycle.omega,
+            )
+        elif mesh is not None:
             from pde_multigrid_tpu.parallel.sharded import ShardedKernels
 
             kernels = ShardedKernels(
@@ -148,6 +176,14 @@ class MultigridSolver:
         levels = tuple(
             self.problem.init_level(g, dtype=dtype) for g in self.geoms
         )
+        if self._galerkin_coeffs is not None:
+            levels = tuple(
+                dataclasses.replace(
+                    lvl,
+                    aux={**lvl.aux, "stencil_coeffs": c},
+                )
+                for lvl, c in zip(levels, self._galerkin_coeffs)
+            )
         if self.mesh is not None:
             from pde_multigrid_tpu.parallel.mesh import shard_levels
 
