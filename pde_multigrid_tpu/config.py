@@ -70,3 +70,6 @@ class SolverConfig:
     # convergence-mode controls (solve_to_tolerance):
     tol: float = 1e-8
     max_cycles: int = 100
+    # failure detection: stop when the residual is non-finite or exceeds
+    # this factor times the best residual seen (SURVEY.md §5)
+    divergence_factor: float = 1e3

@@ -19,6 +19,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from pde_multigrid_tpu.config import CycleConfig, SolverConfig
 from pde_multigrid_tpu.cycles import CycleProgram, JnpKernels
@@ -40,6 +41,7 @@ class SolveResult:
     residual_history: list[float]
     wall_time_s: float
     compile_time_s: float
+    diverged: bool = False
 
 
 def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
@@ -205,9 +207,14 @@ class MultigridSolver:
         wall = time.perf_counter() - t0
         return self._finalize(levels, 1, [], wall, compile_s)
 
-    def solve_to_tolerance(self, levels=None) -> SolveResult:
+    def solve_to_tolerance(self, levels=None, metrics=None) -> SolveResult:
         """FMG (if configured) followed by V-cycles until the finest-level
-        L2 residual is below config.tol or max_cycles is reached."""
+        L2 residual is below config.tol or max_cycles is reached.
+
+        Divergence guard (SURVEY.md §5 "failure detection"): stops early if
+        the residual goes non-finite or exceeds divergence_factor x the
+        best seen.  `metrics` (utils.MetricsLogger) gets one record per
+        cycle: residual, reduction factor rho, wall time."""
         cfg = self.config
         levels = tuple(levels) if levels is not None else self.fresh_levels()
         t_c0 = time.perf_counter()
@@ -215,19 +222,40 @@ class MultigridSolver:
         vstep = self._vstep.lower(levels).compile()
         compile_s = time.perf_counter() - t_c0
         history: list[float] = []
+        diverged = False
         t0 = time.perf_counter()
         levels = step(levels)
         l2, _ = self._norms(levels)
         history.append(float(l2))
+        if metrics:
+            metrics.cycle(0, history[-1], None, kind=cfg.cycle.kind)
+        best = history[-1]
         n = 1
         while history[-1] > cfg.tol and n < cfg.max_cycles:
+            t_c = time.perf_counter()
             levels = vstep(levels)
             l2, _ = self._norms(levels)
             history.append(float(l2))
+            if metrics:
+                metrics.cycle(
+                    n,
+                    history[-1],
+                    history[-2],
+                    kind="v",
+                    cycle_s=round(time.perf_counter() - t_c, 6),
+                )
+            if not np.isfinite(history[-1]) or (
+                history[-1] > cfg.divergence_factor * best
+            ):
+                diverged = True
+                break
+            best = min(best, history[-1])
             n += 1
         jax.block_until_ready(levels)
         wall = time.perf_counter() - t0
-        return self._finalize(levels, n, history, wall, compile_s)
+        res = self._finalize(levels, n, history, wall, compile_s)
+        res.diverged = diverged
+        return res
 
     # -- verification ------------------------------------------------------
 
