@@ -61,6 +61,10 @@ class SolverConfig:
     dtype: str = "float32"  # reference is float32 throughout (SURVEY.md §2.7.9)
     backend: Literal["auto", "jnp", "pallas"] = "auto"
     num_levels: int | None = None  # None = down to 3 points/axis
+    # storage: "auto" picks wrap storage (N-1 = 2^k points per axis, the
+    # zero boundary plane shared via roll wraparound — no padding waste)
+    # for homogeneous-Dirichlet problems, padded storage otherwise
+    storage: Literal["auto", "padded", "wrap"] = "auto"
     # physical padding: round axis-0 extent up to a multiple (device-mesh
     # divisibility) and last-axis extent (TPU lane alignment); padding is
     # inert (mask-gated) everywhere

@@ -104,9 +104,8 @@ class JnpKernels:
         )
 
     def prolong(self, l_fine: int, arr):
-        return stencil.prolong_linear(
-            arr, self.geoms[l_fine].padded_shape
-        )
+        g = self.geoms[l_fine]
+        return stencil.prolong_linear(arr, g.padded_shape, periodic=g.wrap)
 
 
 class CycleProgram:

@@ -71,13 +71,30 @@ class LevelGeometry:
     origin: tuple[float, ...]  # coordinate of index 0 per axis
     domain: tuple[tuple[float, float], ...]  # (lo, hi) per axis
     padded_shape: tuple[int, ...] = None  # physical array shape
+    # wrap storage (homogeneous-Dirichlet problems only): store N-1 = 2^k
+    # points per axis — the zero boundary plane at index 0 serves BOTH
+    # domain ends, because a circular shift (jnp.roll) wraps the +1
+    # neighbor of the last stored interior plane (logical N-2) around to
+    # plane 0 = the zero boundary value.  Perfect lane/sublane alignment,
+    # zero padding waste, and every roll-based op is correct as-is.
+    wrap: bool = False
 
     def __post_init__(self):
         if self.padded_shape is None:
-            object.__setattr__(self, "padded_shape", self.shape)
-        for p, s in zip(self.padded_shape, self.shape):
+            object.__setattr__(self, "padded_shape", self.stored_shape)
+        for p, s in zip(self.padded_shape, self.stored_shape):
             if p < s:
-                raise ValueError("padded_shape must cover logical shape")
+                raise ValueError("padded_shape must cover stored shape")
+        if self.wrap and self.padded_shape != self.stored_shape:
+            raise ValueError("wrap storage must be padding-free")
+
+    @property
+    def stored_shape(self) -> tuple[int, ...]:
+        """Points physically stored per axis (logical minus the duplicate
+        upper boundary plane in wrap mode)."""
+        if self.wrap:
+            return tuple(n - 1 for n in self.shape)
+        return self.shape
 
     @property
     def ndim(self) -> int:
@@ -104,6 +121,16 @@ class LevelGeometry:
         the padded shape."""
         axes = [self.coords1d(a, dtype) for a in range(self.ndim)]
         return tuple(jnp.meshgrid(*axes, indexing="ij"))
+
+
+def to_logical(arr, geom: LevelGeometry) -> np.ndarray:
+    """View a stored array at the logical reference shape (2^k+1 per axis):
+    strip physical padding, and in wrap mode re-append the upper boundary
+    plane (zero — wrap implies homogeneous Dirichlet data)."""
+    a = np.asarray(arr)[tuple(slice(0, s) for s in geom.stored_shape)]
+    if geom.wrap:
+        a = np.pad(a, [(0, 1)] * geom.ndim)
+    return a
 
 
 def check_grid_size(n: int) -> int:
@@ -135,6 +162,7 @@ def build_geometries(
     pad_axis0_to: int = 1,
     pad_last_to: int = 1,
     pad_sublane_to: int = 1,
+    wrap: bool = False,
 ) -> tuple[LevelGeometry, ...]:
     """Geometry for every level, finest first.
 
@@ -153,25 +181,50 @@ def build_geometries(
         if not hi > lo:
             raise ValueError(f"domain must satisfy hi > lo, got ({lo}, {hi})")
     levels = num_levels_for(shape) if num_levels is None else num_levels
-    geoms = []
-    cur = tuple(shape)
-    for _ in range(levels):
-        spacing = tuple(
-            (hi - lo) / (n - 1) for (lo, hi), n in zip(domain, cur)
-        )
-        padded = list(cur)
+
+    def padded_for(cur: tuple[int, ...], use_wrap: bool):
+        stored = [n - 1 for n in cur] if use_wrap else list(cur)
+        padded = list(stored)
+        if use_wrap:
+            # 2^k stored sizes: already lane/sublane aligned wherever the
+            # slab kernel needs it (big levels); only mesh divisibility is
+            # applied, and only on levels fat enough to shard.
+            if stored[0] >= 3 * pad_axis0_to:
+                padded[0] = _round_up(padded[0], pad_axis0_to)
+            return stored, padded
         if ndim == 1:
             padded[0] = _round_up(
                 padded[0], math.lcm(pad_axis0_to, pad_last_to)
             )
         else:
-            m0 = pad_axis0_to
+            m0 = pad_axis0_to if stored[0] >= 3 * pad_axis0_to else 1
             if ndim == 2:  # axis 0 is also the sublane axis
                 m0 = math.lcm(m0, pad_sublane_to)
             padded[0] = _round_up(padded[0], m0)
             padded[-1] = _round_up(padded[-1], pad_last_to)
             for d in range(1, ndim - 1):
                 padded[d] = _round_up(padded[d], pad_sublane_to)
+        return stored, padded
+
+    # wrap is all-or-nothing across the hierarchy (transfer ops assume a
+    # consistent storage convention): disable it if any level's padding
+    # requirement is incompatible (e.g. non-power-of-two mesh size)
+    if wrap:
+        cur = tuple(shape)
+        for _ in range(levels):
+            stored, padded = padded_for(cur, True)
+            if stored != padded:
+                wrap = False
+                break
+            cur = coarsen_shape(cur)
+
+    geoms = []
+    cur = tuple(shape)
+    for _ in range(levels):
+        spacing = tuple(
+            (hi - lo) / (n - 1) for (lo, hi), n in zip(domain, cur)
+        )
+        _, padded = padded_for(cur, wrap)
         geoms.append(
             LevelGeometry(
                 shape=cur,
@@ -179,6 +232,7 @@ def build_geometries(
                 origin=tuple(lo for lo, _ in domain),
                 domain=tuple(domain),
                 padded_shape=tuple(padded),
+                wrap=wrap,
             )
         )
         cur = coarsen_shape(cur)
@@ -236,10 +290,24 @@ def base_aux(geom: LevelGeometry, dtype=jnp.float32) -> dict[str, Array]:
     Masks are stored in the compute dtype (1.0 / 0.0) rather than bool:
     the relaxation inner loop is then pure f32 VPU math
     (v' = v + mask*(update - v)) with no select lowering surprises.
+
+    Wrap storage: stored index 0 per axis is the (zero) boundary plane and
+    every other stored point is interior, so the interior mask excludes
+    only index 0; parities are unchanged (stored index == logical index).
     """
-    interior = interior_mask(geom.shape, geom.padded_shape)
-    red = parity_mask(geom.shape, 0, geom.padded_shape)
-    log = logical_mask(geom.shape, geom.padded_shape)
+    if geom.wrap:
+        s = geom.stored_shape
+        interior = np.ones(s, dtype=bool)
+        for ax in range(len(s)):
+            sl = [slice(None)] * len(s)
+            sl[ax] = 0
+            interior[tuple(sl)] = False
+        red = parity_mask(s, 0)
+        log = np.ones(s, dtype=bool)
+    else:
+        interior = interior_mask(geom.shape, geom.padded_shape)
+        red = parity_mask(geom.shape, 0, geom.padded_shape)
+        log = logical_mask(geom.shape, geom.padded_shape)
     return {
         "m_red": jnp.asarray(interior & red, dtype),
         "m_black": jnp.asarray(interior & ~red, dtype),
@@ -272,6 +340,7 @@ class Hierarchy:
         pad_axis0_to: int = 1,
         pad_last_to: int = 1,
         pad_sublane_to: int = 1,
+        wrap: bool = False,
     ) -> "Hierarchy":
         if isinstance(shape, int):
             shape = (shape,) * problem.ndim
@@ -286,6 +355,7 @@ class Hierarchy:
             pad_axis0_to=pad_axis0_to,
             pad_last_to=pad_last_to,
             pad_sublane_to=pad_sublane_to,
+            wrap=wrap,
         )
         levels = [problem.init_level(g, dtype=dtype) for g in geoms]
         return cls(problem=problem, geoms=geoms, levels=levels)

@@ -283,6 +283,7 @@ class GalerkinKernels:
         )
 
     def prolong(self, l_fine, arr):
+        g = self.geoms[l_fine]
         return stencil_ops.prolong_linear(
-            arr, self.geoms[l_fine].padded_shape
+            arr, g.padded_shape, periodic=g.wrap
         )

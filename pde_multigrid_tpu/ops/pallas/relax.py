@@ -187,6 +187,13 @@ def make_slab_relax(
     halo = 2 * T
     ext = B + 2 * halo
     assert X >= ext, f"axis0 extent {X} smaller than slab+halos {ext}"
+    # wrap storage: in-kernel rolls wrap within the local ext buffer, not
+    # the global array, so the +axis0 neighbor of global row X-1 (which
+    # must read the zero boundary plane) needs one extra always-zero row
+    # appended to the scratch buffers.  Harmless for non-top slabs (the
+    # zero row sits in the discarded trapezoid-corruption region).
+    zrow = 1 if geom.wrap else 0
+    loc_rows = ext + zrow
     # the grid covers full B-row slabs only; remainder rows must all be
     # boundary/padding (true for 2^k+1 grids with power-of-two B) and are
     # passed through unchanged outside the kernel
@@ -200,18 +207,21 @@ def make_slab_relax(
     def kernel(v_hbm, f_hbm, o_ref, vloc, floc, sem, *, nsweeps_here):
         p = pl.program_id(0)
         start = jnp.clip(p * B - halo, 0, X - ext)
+        if zrow:
+            vloc[ext:] = jnp.zeros((zrow,) + tail, dtype)
+            floc[ext:] = jnp.zeros((zrow,) + tail, dtype)
         cp_v = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(start, ext)], vloc, sem.at[0]
+            v_hbm.at[pl.ds(start, ext)], vloc.at[0:ext], sem.at[0]
         )
         cp_f = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(start, ext)], floc, sem.at[1]
+            f_hbm.at[pl.ds(start, ext)], floc.at[0:ext], sem.at[1]
         )
         cp_v.start()
         cp_f.start()
         cp_v.wait()
         cp_f.wait()
         pre, m_red, m_black = _coords_and_masks(
-            problem, geom, (ext,) + tail, start, dtype
+            problem, geom, (loc_rows,) + tail, start, dtype
         )
         v_new = _sweeps(
             problem,
@@ -243,8 +253,8 @@ def make_slab_relax(
                 (B,) + tail, lambda i: (i,) + (0,) * (nd - 1)
             ),
             scratch_shapes=[
-                pltpu.VMEM((ext,) + tail, dtype),
-                pltpu.VMEM((ext,) + tail, dtype),
+                pltpu.VMEM((loc_rows,) + tail, dtype),
+                pltpu.VMEM((loc_rows,) + tail, dtype),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -307,7 +317,8 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     if len(shape) == 1:
         return None  # 1D never exceeds the budget in practice
     # the slab kernel DMAs HBM slices along axis 0, which requires the
-    # trailing dims to sit on tile boundaries (sublane 8 / lane 128)
+    # trailing dims to sit on tile boundaries (sublane 8 / lane 128);
+    # wrap-mode 2^k extents satisfy this automatically once big enough
     if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
         return None
     plane = tile_padded_bytes((1,) + tuple(shape[1:]))

@@ -218,16 +218,32 @@ def _upsample_axis(a: Array, axis: int) -> Array:
     return jnp.moveaxis(out, 0, axis)
 
 
+def _upsample_axis_periodic(a: Array, axis: int) -> Array:
+    """Linear upsample m -> 2m along `axis` under wrap storage:
+    out[2i] = a[i], out[2i+1] = (a[i] + a[(i+1) mod m]) / 2.  The wrapped
+    midpoint pairs the last stored interior plane with stored plane 0 —
+    the zero boundary — which is exactly the linear-interpolation value at
+    the last fine interior point."""
+    a = jnp.moveaxis(a, axis, 0)
+    mid = 0.5 * (a + jnp.roll(a, -1, axis=0))
+    out = jnp.stack([a, mid], axis=1).reshape((-1,) + a.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
 def prolong_linear(
-    coarse: Array, fine_shape: tuple[int, ...] | None = None
+    coarse: Array,
+    fine_shape: tuple[int, ...] | None = None,
+    periodic: bool = False,
 ) -> Array:
     """(Bi/tri)linear prolongation coarse -> fine, any dimension; returns the
     full fine-size array (callers apply it interior-only, reference
     Interpolate never writes the boundary).  When `fine_shape` is given the
-    result is fitted to that physical shape."""
+    result is fitted to that physical shape.  `periodic` selects the wrap-
+    storage upsample (m -> 2m, zero boundary plane shared)."""
     a = coarse
+    up = _upsample_axis_periodic if periodic else _upsample_axis
     for ax in range(coarse.ndim):
-        a = _upsample_axis(a, ax)
+        a = up(a, ax)
     if fine_shape is not None:
         a = _fit(a, fine_shape)
     return a

@@ -62,6 +62,38 @@ def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
     return JnpKernels(problem, geoms, cycle.smoother, cycle.omega)
 
 
+def _has_zero_boundary(problem, shape, dtype) -> bool:
+    """True iff the problem's Dirichlet data vanishes on every face of the
+    finest grid (checked eagerly on face slices; enables wrap storage).
+    Evaluated on the CPU backend — this is init-time host work and must
+    not touch (or wait on) the accelerator."""
+    import numpy as np
+
+    if isinstance(shape, int):
+        shape = (shape,) * problem.ndim
+    npdt = np.dtype(dtype)
+    axes = []
+    for a in range(problem.ndim):
+        lo, hi = problem.domain[a]
+        h = (hi - lo) / (shape[a] - 1)
+        axes.append(
+            (npdt.type(lo) + np.arange(shape[a], dtype=npdt) * npdt.type(h))
+        )
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        for ax in range(problem.ndim):
+            for side in (0, shape[ax] - 1):
+                face_axes = list(axes)
+                face_axes[ax] = axes[ax][side : side + 1]
+                coords = np.meshgrid(*face_axes, indexing="ij")
+                bv = np.asarray(
+                    problem.boundary_values(tuple(coords))
+                )
+                if np.max(np.abs(bv)) > 1e-7:
+                    return False
+    return True
+
+
 class MultigridSolver:
     """Single-chip or multi-chip multigrid solver.
 
@@ -103,6 +135,19 @@ class MultigridSolver:
                 pad_last = 128 if pallas_active else 1
             if pad_sub == 0:
                 pad_sub = 8 if pallas_active else 1
+        # storage mode: wrap storage (zero-waste 2^k arrays) requires
+        # homogeneous Dirichlet data; galerkin coarsening not yet wired
+        # for wrap (transfer-op probing assumes padded conventions)
+        wrap = False
+        if (
+            self.config.storage in ("auto", "wrap")
+            and self.config.cycle.coarse_operator != "galerkin"
+        ):
+            wrap = _has_zero_boundary(problem, shape, dtype)
+            if self.config.storage == "wrap" and not wrap:
+                raise ValueError(
+                    "storage='wrap' requires homogeneous Dirichlet data"
+                )
         self.hierarchy = Hierarchy.build(
             problem,
             shape,
@@ -111,6 +156,7 @@ class MultigridSolver:
             pad_axis0_to=self.config.pad_axis0_to,
             pad_last_to=pad_last,
             pad_sublane_to=pad_sub,
+            wrap=wrap,
         )
         self.problem = problem
         self.geoms = self.hierarchy.geoms

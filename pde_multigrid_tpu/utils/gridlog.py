@@ -19,7 +19,7 @@ from pde_multigrid_tpu.grid import LevelGeometry, interior_mask
 
 
 def _logical(arr: np.ndarray, geom: LevelGeometry) -> np.ndarray:
-    return arr[tuple(slice(0, s) for s in geom.shape)]
+    return arr[tuple(slice(0, s) for s in geom.stored_shape)]
 
 
 def dump_grid_v(
@@ -36,7 +36,7 @@ def dump_grid_v(
         )
     n = 0
     with open(path, "w") as fh:
-        for idx in np.ndindex(*geom.shape):
+        for idx in np.ndindex(*geom.stored_shape):
             coords = [
                 geom.origin[d] + idx[d] * geom.spacing[d]
                 for d in range(geom.ndim)
@@ -59,7 +59,7 @@ def diff_stats(level, geom: LevelGeometry, problem) -> dict:
     PrintDiff / PrintMeanAbsoluteError metrics as a dict."""
     v = np.asarray(jax.device_get(level.v))
     exact = np.asarray(problem.exact_solution(geom.coords()))
-    m = interior_mask(geom.shape, geom.padded_shape)
+    m = np.asarray(jax.device_get(level.aux["m_int"])) > 0
     diff = (v - exact)[m]
     return {
         "mae": float(np.mean(np.abs(diff))),

@@ -122,7 +122,7 @@ def test_cli_driver_smoke():
         text=True,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        timeout=300,
+        timeout=560,  # interpreter startup alone costs ~60s in this env
     )
     assert out.returncode == 0, out.stderr[-2000:]
     rec = json.loads(out.stdout.strip().splitlines()[-1])

@@ -32,8 +32,9 @@ def jax_solve(prob, n, kind, nu0, nu1, nu2, cycles=1):
     )
     s = MultigridSolver(prob, n, cfg)
     r = s.solve_to_tolerance()
-    v = np.asarray(r.v)[tuple(slice(0, d) for d in s.geoms[0].shape)]
-    return v, r
+    from pde_multigrid_tpu.grid import to_logical
+
+    return to_logical(r.v, s.geoms[0]), r
 
 
 @pytest.mark.parametrize(

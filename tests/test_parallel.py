@@ -23,6 +23,7 @@ def _solve(problem, n, pad0=1, padl=1, cycles=2):
         pad_last_to=padl,
         max_cycles=cycles,
         tol=0.0,
+        storage="padded",  # these tests exercise padded storage explicitly
     )
     return MultigridSolver(problem, n, cfg)
 
