@@ -151,6 +151,17 @@ class Poisson(ProblemBase):
 
     # -- Pallas kernel tier -------------------------------------------------
 
+    def merged_update(self, v, f, shift, geom: LevelGeometry):
+        """Local solve for the merged-layout resident kernel
+        (ops/pallas/relax.py): same math as kernel_update, but geometric
+        shifts are delegated to the layout-aware `shift(a, axis, off)`."""
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        inv_den = 1.0 / (2.0 * sum(inv_h2))
+        num = -f
+        for ax, w in enumerate(inv_h2):
+            num = num + (shift(v, ax, -1) + shift(v, ax, +1)) * w
+        return num * inv_den
+
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # constant-coefficient: weights and the reciprocal fold to scalars.
         # Spatial axes are the LAST geom.ndim axes of v (1D problems run

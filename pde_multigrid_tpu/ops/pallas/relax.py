@@ -285,10 +285,101 @@ def make_slab_relax(
     return relax
 
 
+# ------------------------------------------------- merged-layout resident
+
+def make_merged_resident_relax(
+    problem, geom: LevelGeometry, dtype, interpret=False
+):
+    """Resident kernel for wrap-mode 3D levels whose lane extent is < 128:
+    the stored (X, Y, Z) array is VIEWED as (X, Y*Z/128, 128) — a free
+    bitcast with perfect (8,128) tiling and zero VMEM padding waste.
+
+    Geometric shifts become flat shifts over the merged (y,z) dimension:
+    shifting by s = Z (y-step) or s = 1 (z-step) crosses merged-row
+    boundaries with a row-carry.  Wrap correctness is preserved because
+    every cross-boundary carry lands on a zero boundary plane: the +z
+    neighbor of z = Z-1 should read the zero z-boundary and the carry
+    delivers (y+1, 0) — also a zero boundary value; likewise +y wraps to
+    the y=0 plane.  Requires problem.merged_update (constant-coefficient
+    operators; Poisson implements it)."""
+    X, Y, Z = geom.padded_shape
+    assert geom.wrap and Z < 128 and (Y * Z) % 128 == 0
+    M = (Y * Z) // 128
+    zbits = Z.bit_length() - 1
+    lane = None  # built in-kernel
+
+    def flat_shift(a, s: int):
+        """out[flat] = a[flat + s] over the merged (y,z) space, per x."""
+        if s == 0:
+            return a
+        b = jnp.roll(a, -s, axis=2)
+        if s > 0:
+            c = jnp.roll(b, -1, axis=1)
+            return jnp.where(lane < 128 - s, b, c)
+        c = jnp.roll(b, 1, axis=1)
+        return jnp.where(lane >= -s, b, c)
+
+    def geom_shift(a, axis: int, off: int):
+        if axis == 0:
+            return jnp.roll(a, -off, axis=0)
+        if axis == 1:
+            return flat_shift(a, off * Z)
+        return flat_shift(a, off)
+
+    def kernel(v_ref, f_ref, o_ref, *, nsweeps):
+        nonlocal lane
+        shape = (X, M, 128)
+        lane = lax.broadcasted_iota(jnp.int32, shape, 2)
+        m_i = lax.broadcasted_iota(jnp.int32, shape, 1)
+        flat = m_i * 128 + lane
+        gx = lax.broadcasted_iota(jnp.int32, shape, 0)
+        gy = flat >> zbits
+        gz = flat & (Z - 1)
+        interior = (gx >= 1) & (gy >= 1) & (gz >= 1)
+        par = (gx + gy + gz) % 2
+        m_red = ((par == 0) & interior).astype(dtype)
+        m_black = ((par == 1) & interior).astype(dtype)
+        f = f_ref[:]
+
+        def upd(v):
+            return problem.merged_update(v, f, geom_shift, geom)
+
+        def one(_, v):
+            v = v + m_red * (upd(v) - v)
+            v = v + m_black * (upd(v) - v)
+            return v
+
+        o_ref[:] = (
+            one(0, v_ref[:])
+            if nsweeps == 1
+            else lax.fori_loop(0, nsweeps, one, v_ref[:])
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=jax.ShapeDtypeStruct((X, M, 128), dtype),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+    def relax(v, f, nsweeps: int):
+        vm = v.reshape(X, M, 128)
+        fm = f.reshape(X, M, 128)
+        return build(nsweeps)(vm, fm).reshape(X, Y, Z)
+
+    return relax
+
+
 # ------------------------------------------------------------------ planning
 
 RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
-SLAB_VMEM_BUDGET = 10 * 2**20
+SLAB_VMEM_BUDGET = 12 * 2**20  # against the 16MB scoped-vmem hard limit
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -299,6 +390,20 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     if type(problem).kernel_update is ProblemBase.kernel_update:
         return None
     shape = geom.padded_shape
+    # merged-layout resident kernel: wrap-mode 3D with sub-lane Z — views
+    # the array as (X, Y*Z/128, 128), zero tile waste, whole level in VMEM
+    if (
+        geom.wrap
+        and len(shape) == 3
+        and shape[2] < 128
+        and (shape[1] * shape[2]) % 128 == 0
+        and hasattr(problem, "merged_update")
+    ):
+        merged_bytes = shape[0] * shape[1] * shape[2] * 4
+        if merged_bytes * 7 <= RESIDENT_VMEM_BUDGET:
+            return make_merged_resident_relax(
+                problem, geom, dtype, interpret
+            )
     arr_bytes = tile_padded_bytes(shape)
     n_pre = len(
         problem.kernel_precompute(
@@ -325,7 +430,9 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # Measured on TPU v5e (129^3 Poisson): T=1 is the sweet spot — the
     # kernel sits at ~75% of the HBM roofline and T>1 flips it to
     # compute-bound (2x redundant halo compute for 2x less traffic loses).
-    # VMEM cost: two ext-row scratch buffers + the B-row output block.
+    # VMEM cost model (validated against v5e's 16MB scoped limit): vloc +
+    # floc + two masks + ~1 roll temp, each ~ext rows, plus the B-row
+    # output block.
     for T in (1,):
         for B in (16, 8, 4):
             ext = B + 4 * T
@@ -333,7 +440,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                 continue
             if (shape[0] // B) * B < geom.shape[0] - 1:
                 continue  # remainder rows would contain interior points
-            if plane * (2 * ext + B) <= SLAB_VMEM_BUDGET:
+            if plane * (5 * ext + B) <= SLAB_VMEM_BUDGET:
                 return make_slab_relax(
                     problem, geom, dtype, B, T, interpret
                 )
