@@ -60,6 +60,24 @@ def tile_padded_bytes(shape: Sequence[int], itemsize: int = 4) -> int:
     return out
 
 
+def _coords_pre(problem, geom: LevelGeometry, shape, row0, dtype):
+    """Problem coefficient precompute for a local array of `shape` whose
+    axis-0 rows start at global row `row0`.  For constant-coefficient
+    problems the (unused) coordinate arrays are dead-code-eliminated."""
+    nd = len(shape)
+    coords = []
+    for d in range(nd):
+        gidx = lax.broadcasted_iota(jnp.int32, shape, d)
+        if d == 0:
+            gidx = gidx + row0
+        lo, hi = geom.domain[d]
+        x = jnp.asarray(geom.origin[d], dtype) + gidx.astype(
+            dtype
+        ) * jnp.asarray(geom.spacing[d], dtype)
+        coords.append(jnp.clip(x, min(lo, hi), max(lo, hi)))
+    return problem.kernel_precompute(tuple(coords), geom, dtype)
+
+
 def _coords_and_masks(problem, geom: LevelGeometry, shape, row0, dtype):
     """In-register coordinates, red/black interior masks for a local array
     of `shape` whose axis-0 rows start at global row `row0` (traced or 0).
@@ -172,11 +190,20 @@ def make_slab_relax(
 ):
     """relax(v, f, nsweeps) processing axis-0 slabs with trapezoidal halos.
 
-    Each pallas grid step owns `slab_rows` (B) output rows and locally runs
-    `sweeps_per_call` (T) red-black sweeps on B + 4T rows streamed from HBM
-    (2T halo per side; stale-halo corruption advances <= 2 rows/sweep so
-    the B owned rows stay exact).  nsweeps is decomposed into
-    ceil(nsweeps/T) kernel invocations chained by lax.fori_loop.
+    One kernel invocation sweeps the whole level once (T sweeps): a
+    fori_loop walks the nblk slabs; each slab owns `slab_rows` (B) output
+    rows and locally runs `sweeps_per_call` (T) red-black sweeps on
+    B + 4T rows streamed from HBM (2T halo per side; stale-halo corruption
+    advances <= 2 rows/sweep so the B owned rows stay exact).
+
+    HBM traffic is fully overlapped with compute by double buffering:
+    while slab p relaxes in VMEM, the v/f slabs of p+1 stream into the
+    other buffer slot and the finished rows of p-1 stream out — the
+    classic prefetch pipeline the reference's one-kernel-launch-per-sweep
+    structure (MultiGrid3D.cu:198-199) cannot express.
+
+    nsweeps is decomposed into ceil(nsweeps/T) invocations chained by
+    lax.fori_loop.
     """
     shape = geom.padded_shape
     nd = len(shape)
@@ -185,7 +212,11 @@ def make_slab_relax(
     B = slab_rows
     T = sweeps_per_call
     halo = 2 * T
+    # one extra buffer row when X - ext would be odd, so every slab start
+    # can stay even (block-invariant checkerboard parity) while the top
+    # slab still reaches the upper boundary row
     ext = B + 2 * halo
+    ext += (X - ext) % 2
     assert X >= ext, f"axis0 extent {X} smaller than slab+halos {ext}"
     # wrap storage: in-kernel rolls wrap within the local ext buffer, not
     # the global array, so the +axis0 neighbor of global row X-1 (which
@@ -194,7 +225,7 @@ def make_slab_relax(
     # zero row sits in the discarded trapezoid-corruption region).
     zrow = 1 if geom.wrap else 0
     loc_rows = ext + zrow
-    # the grid covers full B-row slabs only; remainder rows must all be
+    # the loop covers full B-row slabs only; remainder rows must all be
     # boundary/padding (true for 2^k+1 grids with power-of-two B) and are
     # passed through unchanged outside the kernel
     nblk = X // B
@@ -204,57 +235,146 @@ def make_slab_relax(
     )
     tail = tuple(shape[1:])
 
-    def kernel(v_hbm, f_hbm, o_ref, vloc, floc, sem, *, nsweeps_here):
-        p = pl.program_id(0)
-        start = jnp.clip(p * B - halo, 0, X - ext)
+    # all slab starts are even (B and halo are even, X - ext is even by
+    # construction), so the checkerboard parity masks are block-invariant
+    # and are computed ONCE per kernel invocation — only a rank-1
+    # x-row-validity factor varies per block.
+    assert B % 2 == 0 and halo % 2 == 0 and (X - ext) % 2 == 0
+    max_start = X - ext
+
+    def kernel(
+        v_hbm,
+        f_hbm,
+        o_hbm,
+        vbuf,
+        fbuf,
+        mred_ref,
+        mblack_ref,
+        in_sem,
+        out_sem,
+        *,
+        nsweeps_here,
+    ):
+        def start_of(p):
+            return jnp.clip(p * B - halo, 0, max_start)
+
+        def in_dmas(slot, p):
+            s = start_of(p)
+            return (
+                pltpu.make_async_copy(
+                    v_hbm.at[pl.ds(s, ext)],
+                    vbuf.at[slot, pl.ds(0, ext)],
+                    in_sem.at[slot, 0],
+                ),
+                pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(s, ext)],
+                    fbuf.at[slot, pl.ds(0, ext)],
+                    in_sem.at[slot, 1],
+                ),
+            )
+
+        def out_dma(slot, p):
+            s = start_of(p)
+            return pltpu.make_async_copy(
+                vbuf.at[slot, pl.ds(p * B - s, B)],
+                o_hbm.at[pl.ds(p * B, B)],
+                out_sem.at[slot],
+            )
+
         if zrow:
-            vloc[ext:] = jnp.zeros((zrow,) + tail, dtype)
-            floc[ext:] = jnp.zeros((zrow,) + tail, dtype)
-        cp_v = pltpu.make_async_copy(
-            v_hbm.at[pl.ds(start, ext)], vloc.at[0:ext], sem.at[0]
-        )
-        cp_f = pltpu.make_async_copy(
-            f_hbm.at[pl.ds(start, ext)], floc.at[0:ext], sem.at[1]
-        )
-        cp_v.start()
-        cp_f.start()
-        cp_v.wait()
-        cp_f.wait()
-        pre, m_red, m_black = _coords_and_masks(
-            problem, geom, (loc_rows,) + tail, start, dtype
-        )
-        v_new = _sweeps(
-            problem,
-            geom,
-            vloc[:],
-            floc[:],
-            pre,
-            m_red,
-            m_black,
-            nsweeps_here,
-        )
-        # dynamic_slice of a value is not lowerable on TPU; go through the
-        # scratch ref (pl.ds on refs is supported)
-        vloc[:] = v_new
-        off = p * B - start
-        o_ref[:] = vloc[pl.ds(off, B)]
+            # the extra always-zero row is never DMA'd over; set it once
+            zeros = jnp.zeros((zrow,) + tail, dtype)
+            vbuf[0, ext:] = zeros
+            vbuf[1, ext:] = zeros
+            fbuf[0, ext:] = zeros
+            fbuf[1, ext:] = zeros
+        for d in in_dmas(0, 0):
+            d.start()
+
+        # hoisted per-invocation masks: parity + tail-dim interiority
+        # (x-interiority is per block, applied below).  Staged through VMEM
+        # scratch so the fori_loop body loads them instead of carrying
+        # multi-MB vector values across the loop boundary.
+        lshape = (loc_rows,) + tail
+        iotas = [
+            lax.broadcasted_iota(jnp.int32, lshape, d) for d in range(nd)
+        ]
+        ok_tail = None
+        for d in range(1, nd):
+            ok = (iotas[d] >= 1) & (iotas[d] <= geom.shape[d] - 2)
+            ok_tail = ok if ok_tail is None else ok_tail & ok
+        par = sum(iotas) % 2
+        mred_ref[:] = ((par == 0) & ok_tail).astype(dtype)
+        mblack_ref[:] = ((par == 1) & ok_tail).astype(dtype)
+
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
+
+            # prefetch slab p+1 into the other slot; its buffer is free
+            # once the p-1 write-back has drained
+            @pl.when(p + 1 < nblk)
+            def _():
+                @pl.when(p >= 1)
+                def _():
+                    out_dma(nxt, p - 1).wait()
+
+                for d in in_dmas(nxt, p + 1):
+                    d.start()
+
+            for d in in_dmas(slot, p):
+                d.wait()
+            s = start_of(p)
+            g = s + lax.broadcasted_iota(
+                jnp.int32, (loc_rows,) + (1,) * (nd - 1), 0
+            )
+            rv = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
+            m_red = mred_ref[:] * rv
+            m_black = mblack_ref[:] * rv
+            pre = _coords_pre(problem, geom, lshape, s, dtype)
+            v_new = _sweeps(
+                problem,
+                geom,
+                vbuf[slot],
+                fbuf[slot],
+                pre,
+                m_red,
+                m_black,
+                nsweeps_here,
+            )
+            # dynamic_slice of a value is not lowerable on TPU; stage the
+            # result through the ref and DMA the owned rows out.  Static
+            # slice [:ext] keeps the trailing always-zero row intact for
+            # this slot's next turn (the sweep "updates" it as if it were
+            # interior whenever the slab isn't the top one).
+            if zrow:
+                vbuf[slot, :ext] = v_new[:ext]
+            else:
+                vbuf[slot] = v_new
+            out_dma(slot, p).start()
+            return 0
+
+        lax.fori_loop(0, nblk, body, 0)
+        out_dma((nblk - 1) % 2, nblk - 1).wait()
+        if nblk > 1:
+            out_dma((nblk - 2) % 2, nblk - 2).wait()
 
     @functools.lru_cache(maxsize=None)
     def build(nsweeps_here: int):
         call = pl.pallas_call(
             functools.partial(kernel, nsweeps_here=nsweeps_here),
-            grid=(nblk,),
             out_shape=jax.ShapeDtypeStruct((rem_start,) + tail, dtype),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.ANY),
                 pl.BlockSpec(memory_space=pltpu.ANY),
             ],
-            out_specs=pl.BlockSpec(
-                (B,) + tail, lambda i: (i,) + (0,) * (nd - 1)
-            ),
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
             scratch_shapes=[
+                pltpu.VMEM((2, loc_rows) + tail, dtype),
+                pltpu.VMEM((2, loc_rows) + tail, dtype),
                 pltpu.VMEM((loc_rows,) + tail, dtype),
                 pltpu.VMEM((loc_rows,) + tail, dtype),
+                pltpu.SemaphoreType.DMA((2, 2)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -428,19 +548,20 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         return None
     plane = tile_padded_bytes((1,) + tuple(shape[1:]))
     # Measured on TPU v5e (129^3 Poisson): T=1 is the sweet spot — the
-    # kernel sits at ~75% of the HBM roofline and T>1 flips it to
-    # compute-bound (2x redundant halo compute for 2x less traffic loses).
-    # VMEM cost model (validated against v5e's 16MB scoped limit): vloc +
-    # floc + two masks + ~1 roll temp, each ~ext rows, plus the B-row
-    # output block.
+    # kernel is compute-bound once DMA is double-buffered, so T>1 only
+    # adds redundant halo compute.  VMEM cost model (against v5e's 16MB
+    # scoped limit): double-buffered vbuf + fbuf (4 slabs) + two masks +
+    # ~2 roll temps, each ~loc_rows rows.
+    zrow = 1 if geom.wrap else 0
     for T in (1,):
         for B in (16, 8, 4):
             ext = B + 4 * T
+            ext += (shape[0] - ext) % 2
             if shape[0] < ext:
                 continue
             if (shape[0] // B) * B < geom.shape[0] - 1:
                 continue  # remainder rows would contain interior points
-            if plane * (5 * ext + B) <= SLAB_VMEM_BUDGET:
+            if plane * 8 * (ext + zrow) <= SLAB_VMEM_BUDGET:
                 return make_slab_relax(
                     problem, geom, dtype, B, T, interpret
                 )
