@@ -107,6 +107,18 @@ class JnpKernels:
         g = self.geoms[l_fine]
         return stencil.prolong_linear(arr, g.padded_shape, periodic=g.wrap)
 
+    # -- optional fused paths (overridden by the Pallas tier; None means
+    # "no fused kernel, use the two-step fallback") ------------------------
+
+    def residual_restrict(self, l, v, f, aux, coarse_aux):
+        return None
+
+    def restrict_direct(self, l, arr, coarse_aux):
+        return None
+
+    def prolong_blend(self, l_fine, base_v, coarse_v, m_int, mode):
+        return None
+
 
 class CycleProgram:
     """Pure functions over a level tuple implementing the configured cycles.
@@ -130,6 +142,12 @@ class CycleProgram:
 
     # -- building blocks ---------------------------------------------------
 
+    def _fused(self, name: str, *args):
+        """Optional fused-kernel hook on the kernel tier; None selects the
+        two-step fallback (kernel classes may omit the hooks entirely)."""
+        fn = getattr(self.kernels, name, None)
+        return None if fn is None else fn(*args)
+
     def _relax(self, levels: Levels, l: int, nsweeps: int) -> Levels:
         if nsweeps == 0:
             return levels
@@ -143,10 +161,14 @@ class CycleProgram:
         if l != len(self.geoms) - 1:
             fine = levels[l]
             coarse = levels[l + 1]
-            r = self.kernels.residual(l, fine.v, fine.f, fine.aux)
-            cf = self.kernels.restrict(
-                l, r, coarse.aux["m_int"], coarse.aux["m_log"]
+            cf = self._fused(
+                "residual_restrict", l, fine.v, fine.f, fine.aux, coarse.aux
             )
+            if cf is None:
+                r = self.kernels.residual(l, fine.v, fine.f, fine.aux)
+                cf = self.kernels.restrict(
+                    l, r, coarse.aux["m_int"], coarse.aux["m_log"]
+                )
             # zero the whole coarse error vector, boundary included
             # (reference setToValue(coarse.v, 0, true), MultiGrid1D.cpp:158)
             cv = jnp.zeros_like(coarse.v)
@@ -155,9 +177,20 @@ class CycleProgram:
             )
             for _ in range(cfg.mu):
                 levels = self.v_cycle(levels, l + 1)
-            err = self.kernels.prolong(l, levels[l + 1].v)
             fine = levels[l]
-            v = stencil.apply_correction(fine.v, err, fine.aux["m_int"])
+            v = self._fused(
+                "prolong_blend",
+                l,
+                fine.v,
+                levels[l + 1].v,
+                fine.aux["m_int"],
+                "add",
+            )
+            if v is None:
+                err = self.kernels.prolong(l, levels[l + 1].v)
+                v = stencil.apply_correction(
+                    fine.v, err, fine.aux["m_int"]
+                )
             levels = _set(levels, l, dataclasses.replace(fine, v=v))
         levels = self._relax(levels, l, cfg.nu2)
         return levels
@@ -169,9 +202,14 @@ class CycleProgram:
         # before recursing, MultiGrid1D.cpp:132-140)
         for l in range(nlev - 1):
             coarse = levels[l + 1]
-            cf = self.kernels.restrict(
-                l, levels[l].f, coarse.aux["m_int"], coarse.aux["m_log"]
-            )
+            cf = self._fused("restrict_direct", l, levels[l].f, coarse.aux)
+            if cf is None:
+                cf = self.kernels.restrict(
+                    l,
+                    levels[l].f,
+                    coarse.aux["m_int"],
+                    coarse.aux["m_log"],
+                )
             levels = _set(levels, l + 1, dataclasses.replace(coarse, f=cf))
         # coarsest: zero interior, keep Dirichlet boundary
         bot = levels[-1]
@@ -183,8 +221,17 @@ class CycleProgram:
                 levels = self.v_cycle(levels, l)
             if l > 0:
                 fine = levels[l - 1]
-                vfine = self.kernels.prolong(l - 1, levels[l].v)
-                v = fine.v + fine.aux["m_int"] * (vfine - fine.v)
+                v = self._fused(
+                    "prolong_blend",
+                    l - 1,
+                    fine.v,
+                    levels[l].v,
+                    fine.aux["m_int"],
+                    "replace",
+                )
+                if v is None:
+                    vfine = self.kernels.prolong(l - 1, levels[l].v)
+                    v = fine.v + fine.aux["m_int"] * (vfine - fine.v)
                 levels = _set(levels, l - 1, dataclasses.replace(fine, v=v))
         return levels
 

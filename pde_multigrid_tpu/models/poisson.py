@@ -162,6 +162,29 @@ class Poisson(ProblemBase):
             num = num + (shift(v, ax, -1) + shift(v, ax, +1)) * w
         return num * inv_den
 
+    def kernel_operator(self, v, geom: LevelGeometry, roll):
+        """L v inside fused kernels (ops/pallas/transfer.py): same math
+        and accumulation order as apply_operator, with shifts delegated
+        to the kernel-local `roll(a, axis, off)`."""
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        out = 0.0
+        for ax, w in enumerate(inv_h2):
+            out = out + (roll(v, ax, -1) - 2.0 * v + roll(v, ax, +1)) * w
+        return out
+
+    def split_update(self, pairs, f, geom: LevelGeometry):
+        """Local solve on color-split storage (ops/pallas/relax.py split
+        slab kernel): `pairs[ax]` is the (v_minus + v_plus) neighbor pair
+        sum along axis `ax`, already gathered from the opposite color.
+        Identical accumulation order to kernel_update, so results stay
+        bit-compatible with the dense tiers."""
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        inv_den = 1.0 / (2.0 * sum(inv_h2))
+        num = -f
+        for ax, w in enumerate(inv_h2):
+            num = num + pairs[ax] * w
+        return num * inv_den
+
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # constant-coefficient: weights and the reciprocal fold to scalars.
         # Spatial axes are the LAST geom.ndim axes of v (1D problems run

@@ -14,10 +14,12 @@ import jax
 
 from pde_multigrid_tpu.cycles import JnpKernels
 from pde_multigrid_tpu.ops.pallas import relax as relax_mod
+from pde_multigrid_tpu.ops.pallas import transfer as transfer_mod
 
 
 class PallasKernels(JnpKernels):
-    """jnp tier with per-level fused Pallas relaxation."""
+    """jnp tier with per-level fused Pallas relaxation and fused
+    inter-grid transfer kernels (residual+restrict, prolong+blend)."""
 
     def __init__(self, problem, geoms, dtype, interpret: bool):
         super().__init__(problem, geoms)
@@ -25,12 +27,45 @@ class PallasKernels(JnpKernels):
             relax_mod.plan_relax(problem, g, dtype, interpret=interpret)
             for g in geoms
         ]
+        n = len(geoms)
+        self._rr = [None] * n
+        self._restrict = [None] * n
+        self._pb = [{} for _ in range(n)]
+        for l in range(n - 1):
+            gf, gc = geoms[l], geoms[l + 1]
+            if not transfer_mod.planner_ok(gf, gc):
+                continue
+            self._rr[l] = transfer_mod.make_residual_restrict(
+                problem, gf, gc, dtype, interpret=interpret
+            )
+            self._restrict[l] = transfer_mod.make_residual_restrict(
+                problem, gf, gc, dtype, interpret=interpret,
+                with_residual=False,
+            )
+            for mode in ("add", "replace"):
+                self._pb[l][mode] = transfer_mod.make_prolong_blend(
+                    gc, gf, dtype, mode, interpret=interpret
+                )
 
     def relax(self, l, v, f, aux, nsweeps):
         fn = self._relax_fns[l]
         if fn is None:
             return super().relax(l, v, f, aux, nsweeps)
         return fn(v, f, nsweeps)
+
+    # -- fused transfer hooks (cycles.CycleProgram consults these) ---------
+
+    def residual_restrict(self, l, v, f, aux, coarse_aux):
+        fn = self._rr[l]
+        return None if fn is None else fn(v, f)
+
+    def restrict_direct(self, l, arr, coarse_aux):
+        fn = self._restrict[l]
+        return None if fn is None else fn(arr)
+
+    def prolong_blend(self, l_fine, base_v, coarse_v, m_int, mode):
+        fn = self._pb[l_fine].get(mode)
+        return None if fn is None else fn(coarse_v, base_v)
 
 
 def is_tpu_backend() -> bool:

@@ -496,6 +496,237 @@ def make_merged_resident_relax(
     return relax
 
 
+# ------------------------------------------------- split-color slab kernel
+
+
+def _split_qmask(X: int, Z: int):
+    """numpy bool (X, 1, Z): q(x, z) = (x + z) % 2 == 1.  Red points of
+    row (x, z) live at y = 2j + q, black at y = 2j + 1 - q."""
+    import numpy as np
+
+    return (
+        (np.arange(X)[:, None, None] + np.arange(Z)[None, None, :]) % 2
+    ) == 1
+
+
+def split_colors(v, qb):
+    """(X, Y, Z) dense -> (R, B) color-split (X, Y/2, Z) arrays."""
+    X, Y, Z = v.shape
+    v4 = v.reshape(X, Y // 2, 2, Z)
+    v0, v1 = v4[:, :, 0, :], v4[:, :, 1, :]
+    return jnp.where(qb, v1, v0), jnp.where(qb, v0, v1)
+
+
+def merge_colors(r, b, qb):
+    """Inverse of split_colors."""
+    X, Y2, Z = r.shape
+    v0 = jnp.where(qb, b, r)
+    v1 = jnp.where(qb, r, b)
+    return jnp.stack([v0, v1], axis=2).reshape(X, 2 * Y2, Z)
+
+
+def make_split_slab_relax(
+    problem, geom: LevelGeometry, dtype, slab_rows: int, interpret=False
+):
+    """Double-buffered slab relaxation on COLOR-SPLIT storage (3D, wrap).
+
+    The dense masked kernels compute the full stencil update at every
+    point and then discard the half belonging to the other color — 2x
+    redundant arithmetic.  Here red/black points are stored as separate
+    (X, Y/2, Z) arrays (split along y; with q = (x+z) % 2, red y = 2j+q):
+    every neighbor of a red point is black and vice versa, so each
+    half-sweep computes exactly the points it updates.  All neighbor
+    gathers are plain rolls except the y pair, which needs one select on
+    the (x, z) parity:
+
+        red   y-pair = B[j] + (q ? B[j+1] : B[j-1])
+        black y-pair = R[j] + (q ? R[j-1] : R[j+1])
+
+    y/z rolls wrap within the fully-local split arrays and land on the
+    stored zero boundary planes, so wrap correctness carries over; the
+    x-axis uses the same trapezoidal slab + appended-zero-row scheme as
+    make_slab_relax (T = 1, halo = 2).  Requires problem.split_update
+    (constant-coefficient pair-sum solve).
+
+    Replaces the reference's CUDARelax (MultiGrid3D.cu:609-675) for the
+    3D Poisson family at ~half the arithmetic per sweep.
+    """
+    assert geom.wrap and geom.ndim == 3
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    B = slab_rows
+    halo = 2
+    ext = B + 2 * halo
+    assert B % 2 == 0 and X % 2 == 0 and X >= ext and X % B == 0
+    loc = ext + 1  # + appended always-zero x-wrap row
+    nblk = X // B
+    max_start = X - ext
+    tail = (Y2, Z)
+    qb_np = _split_qmask(X, Z)
+
+    def kernel(
+        rv_hbm,
+        bv_hbm,
+        rf_hbm,
+        bf_hbm,
+        ro_hbm,
+        bo_hbm,
+        rvb,
+        bvb,
+        rfb,
+        bfb,
+        mr_ref,
+        mb_ref,
+        in_sem,
+        out_sem,
+    ):
+        bufs = (rvb, bvb, rfb, bfb)
+        hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+
+        def start_of(p):
+            return jnp.clip(p * B - halo, 0, max_start)
+
+        def in_dmas(slot, p):
+            s = start_of(p)
+            return [
+                pltpu.make_async_copy(
+                    h.at[pl.ds(s, ext)],
+                    b.at[slot, pl.ds(0, ext)],
+                    in_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(zip(hbms, bufs))
+            ]
+
+        def out_dmas(slot, p):
+            s = start_of(p)
+            off = p * B - s
+            return [
+                pltpu.make_async_copy(
+                    b.at[slot, pl.ds(off, B)],
+                    h.at[pl.ds(p * B, B)],
+                    out_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(((ro_hbm, rvb), (bo_hbm, bvb)))
+            ]
+
+        zeros = jnp.zeros((1,) + tail, dtype)
+        for b in bufs:
+            b[0, ext:] = zeros
+            b[1, ext:] = zeros
+        for d in in_dmas(0, 0):
+            d.start()
+
+        # hoisted (block-invariant: all starts even): local q parity and
+        # per-color y/z interiority; x-validity applied per block
+        lshape = (loc,) + tail
+        ix = lax.broadcasted_iota(jnp.int32, (loc, 1, Z), 0)
+        iz = lax.broadcasted_iota(jnp.int32, (loc, 1, Z), 2)
+        q1 = ((ix + iz) % 2) == 1
+        jj = lax.broadcasted_iota(jnp.int32, (1, Y2, 1), 1)
+        ok_z = iz >= 1
+        mr_ref[:] = jnp.broadcast_to(
+            ((jj >= 1) | q1) & ok_z, lshape
+        ).astype(dtype)
+        mb_ref[:] = jnp.broadcast_to(
+            ((jj >= 1) | ~q1) & ok_z, lshape
+        ).astype(dtype)
+
+        def roll(a, ax, off):
+            return jnp.roll(a, -off, axis=ax)
+
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
+
+            @pl.when(p + 1 < nblk)
+            def _():
+                @pl.when(p >= 1)
+                def _():
+                    for d in out_dmas(nxt, p - 1):
+                        d.wait()
+
+                for d in in_dmas(nxt, p + 1):
+                    d.start()
+
+            for d in in_dmas(slot, p):
+                d.wait()
+            s = start_of(p)
+            g = s + lax.broadcasted_iota(jnp.int32, (loc, 1, 1), 0)
+            rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
+            m_r = mr_ref[:] * rv_x
+            m_b = mb_ref[:] * rv_x
+            r, b = rvb[slot], bvb[slot]
+            fr, fb = rfb[slot], bfb[slot]
+            # red half-sweep (reads black)
+            pairs = (
+                roll(b, 0, -1) + roll(b, 0, +1),
+                b + jnp.where(q1, roll(b, 1, +1), roll(b, 1, -1)),
+                roll(b, 2, -1) + roll(b, 2, +1),
+            )
+            upd = problem.split_update(pairs, fr, geom)
+            r = r + m_r * (upd - r)
+            # black half-sweep (reads updated red)
+            pairs = (
+                roll(r, 0, -1) + roll(r, 0, +1),
+                r + jnp.where(q1, roll(r, 1, -1), roll(r, 1, +1)),
+                roll(r, 2, -1) + roll(r, 2, +1),
+            )
+            upd = problem.split_update(pairs, fb, geom)
+            b = b + m_b * (upd - b)
+            rvb[slot, :ext] = r[:ext]
+            bvb[slot, :ext] = b[:ext]
+            for d in out_dmas(slot, p):
+                d.start()
+            return 0
+
+        lax.fori_loop(0, nblk, body, 0)
+        for d in out_dmas((nblk - 1) % 2, nblk - 1):
+            d.wait()
+        if nblk > 1:
+            for d in out_dmas((nblk - 2) % 2, nblk - 2):
+                d.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((X,) + tail, dtype),
+            jax.ShapeDtypeStruct((X,) + tail, dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, loc) + tail, dtype),
+            pltpu.VMEM((2, loc) + tail, dtype),
+            pltpu.VMEM((2, loc) + tail, dtype),
+            pltpu.VMEM((2, loc) + tail, dtype),
+            pltpu.VMEM((loc,) + tail, dtype),
+            pltpu.VMEM((loc,) + tail, dtype),
+            pltpu.SemaphoreType.DMA((2, 4)),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        interpret=interpret,
+    )
+
+    def relax(v, f, nsweeps: int):
+        r, b = split_colors(v, qb_np)
+        fr, fb = split_colors(f, qb_np)
+        if nsweeps == 1:
+            r, b = call(r, b, fr, fb)
+        else:
+            r, b = lax.fori_loop(
+                0,
+                nsweeps,
+                lambda _, rb: call(rb[0], rb[1], fr, fb),
+                (r, b),
+            )
+        return merge_colors(r, b, qb_np)
+
+    return relax
+
+
 # ------------------------------------------------------------------ planning
 
 RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
@@ -541,6 +772,26 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         return make_resident_relax(problem, geom, dtype, interpret)
     if len(shape) == 1:
         return None  # 1D never exceeds the budget in practice
+    # color-split slab (3D wrap, constant-coefficient): ~half the
+    # arithmetic of the dense masked slab.  Cost model: 8 double-buffered
+    # half-plane slabs + 2 masks + ~4 roll temps, each ~loc rows.
+    if (
+        geom.wrap
+        and len(shape) == 3
+        and hasattr(problem, "split_update")
+        and shape[1] % 2 == 0
+        and shape[2] % 128 == 0
+        and (shape[1] // 2) % 8 == 0
+    ):
+        half_plane = (shape[1] // 2) * shape[2] * 4
+        for B in (16, 8, 4):
+            ext = B + 4
+            if shape[0] < ext or shape[0] % B:
+                continue
+            if half_plane * 14 * (ext + 1) <= SLAB_VMEM_BUDGET:
+                return make_split_slab_relax(
+                    problem, geom, dtype, B, interpret
+                )
     # the slab kernel DMAs HBM slices along axis 0, which requires the
     # trailing dims to sit on tile boundaries (sublane 8 / lane 128);
     # wrap-mode 2^k extents satisfy this automatically once big enough

@@ -1,0 +1,342 @@
+"""Fused inter-grid transfer kernels (Pallas/Mosaic, TPU) — wrap-mode 3D.
+
+Replaces the jnp-tier residual / full-weighting restriction / trilinear
+prolongation (ops/stencil.py) on the hot path.  XLA's generated code for
+these ops (rolls, strided subsampling, interleaving) runs far below the
+HBM roofline on this TPU backend (~4 ms per residual+restrict+prolong
+instance at 129^3), while Pallas kernels reach the roofline.  Reference
+ops being replaced: CalculateResidual + Restrict (MultiGrid3D.cpp:678-730,
+:50-184) and Interpolate + ApplyCorrection (:186-335, :649-676) — fused
+pairwise instead of one kernel launch per op.
+
+TPU mapping of the awkward pieces (Mosaic supports no strided slicing or
+interleaving on tile dims):
+
+  * y/z-axis resampling = matmul on the MXU with a banded pick matrix
+    (restriction columns [1/4, 1/2, 1/4] / injection column [1];
+    prolongation rows [1, 1/2]).  Matrix entries are exact in bfloat16,
+    so a hi/lo split of the data (a = bf16(a) + (a - bf16(a)), two MXU
+    passes) keeps ~1e-5 relative accuracy; the y axis goes through a
+    VMEM swapaxes(1, 2).
+  * x-axis (untiled dim): restriction subsamples via a free
+    reshape-split (n, ...) -> (n/2, 2, ...)[:, 0]; prolongation
+    interleaves via stack + leading-dim-merging reshape.
+  * The slab walk over x is a STATIC python loop (block starts and
+    offsets are compile-time constants), one DMA round-trip per slab.
+
+Wrap storage only (homogeneous Dirichlet, 2^k extents): rolls wrap onto
+the stored zero boundary planes, matching ops/stencil semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pde_multigrid_tpu.grid import LevelGeometry
+
+Array = jax.Array
+
+TRANSFER_VMEM_BUDGET = 12 * 2**20
+
+
+def _restrict_mat(n: int) -> np.ndarray:
+    """(n, n/2) full-weighting smooth+subsample: out[j] = 1/4 f[2j-1] +
+    1/2 f[2j] + 1/4 f[2j+1] (wrap indices; entries bf16-exact)."""
+    M = np.zeros((n, n // 2), np.float32)
+    for j in range(n // 2):
+        M[(2 * j - 1) % n, j] = 0.25
+        M[2 * j, j] = 0.5
+        M[(2 * j + 1) % n, j] = 0.25
+    return M
+
+
+def _inject_mat(n: int) -> np.ndarray:
+    """(n, n/2) straight subsample: out[j] = f[2j]."""
+    M = np.zeros((n, n // 2), np.float32)
+    for j in range(n // 2):
+        M[2 * j, j] = 1.0
+    return M
+
+
+def _prolong_mat(n: int) -> np.ndarray:
+    """(n, 2n) linear upsample: out[2i] = c[i], out[2i+1] =
+    (c[i] + c[i+1 mod n]) / 2 (wrap pairs with the zero boundary plane)."""
+    M = np.zeros((n, 2 * n), np.float32)
+    for i in range(n):
+        M[i, 2 * i] = 1.0
+        M[i, 2 * i + 1] = 0.5
+        M[(i + 1) % n, 2 * i + 1] += 0.5
+    return M
+
+
+def _hilo_dot(a, m):
+    """f32-accurate a @ m on the MXU for bf16-exact m: split a into bf16
+    hi/lo parts, two passes, f32 accumulation."""
+    hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = a - hi
+    return jnp.dot(hi, m, preferred_element_type=jnp.float32) + jnp.dot(
+        lo, m, preferred_element_type=jnp.float32
+    )
+
+
+def _resample_yz(a, myT, mz):
+    """Apply pick matrices along z (right-dot, batched over rows) and y
+    (left-dot per row; avoids swapaxes, which Mosaic cannot retile when
+    the lane extent changes) of (rows, Y, Z) -> (rows, myT_rows, mz_cols).
+
+    `myT` is the y pick matrix TRANSPOSED: out_row = myT @ row."""
+    a = _hilo_dot(a, mz)
+    rows = [_hilo_dot(myT, a[i]) for i in range(a.shape[0])]
+    return jnp.stack(rows, axis=0)
+
+
+def _roll(a, ax, off):
+    return jnp.roll(a, -off, axis=ax)
+
+
+# ------------------------------------------------- residual + restriction
+
+
+def make_residual_restrict(
+    problem,
+    geom_f: LevelGeometry,
+    geom_c: LevelGeometry,
+    dtype,
+    interpret=False,
+    with_residual=True,
+):
+    """Fused kernel: cf = Restrict(m_int * (f - L v)) when with_residual,
+    else cf = Restrict(a).
+
+    jnp-tier-equivalent semantics (stencil.restrict_full_weighting with
+    wrap m_log == 1): coarse boundary rows/planes carry the injection of
+    the coincident fine value; interior carries 27-point full weighting.
+    """
+    X, Y, Z = geom_f.padded_shape
+    Xc, Yc, Zc = geom_c.padded_shape
+    assert geom_f.wrap and geom_c.wrap and geom_f.ndim == 3
+    assert (X, Y, Z) == (2 * Xc, 2 * Yc, 2 * Zc)
+    if with_residual and not hasattr(problem, "kernel_operator"):
+        return None
+    Bc = min(8, Xc)
+    nblk = Xc // Bc
+    assert nblk * Bc == Xc
+    ext = min(2 * Bc + 4, X)
+    loc = ext + 1  # + appended always-zero x-wrap row
+    tail = (Y, Z)
+    My = jnp.asarray(_restrict_mat(Y).T.copy())  # (Yc, Y): left-dot form
+    Mz = jnp.asarray(_restrict_mat(Z))
+    Jy = jnp.asarray(_inject_mat(Y).T.copy())
+    Jz = jnp.asarray(_inject_mat(Z))
+
+    def kernel(
+        v_hbm,
+        f_hbm,
+        my_ref,
+        mz_ref,
+        jy_ref,
+        jz_ref,
+        o_hbm,
+        buf_v,
+        buf_f,
+        buf_o,
+        sem,
+    ):
+        zeros = jnp.zeros((1,) + tail, dtype)
+        buf_v[ext:] = zeros
+        if with_residual:
+            buf_f[ext:] = zeros
+        iy = lax.broadcasted_iota(jnp.int32, (1,) + tail, 1)
+        iz = lax.broadcasted_iota(jnp.int32, (1,) + tail, 2)
+        m_tail = ((iy >= 1) & (iz >= 1)).astype(dtype)
+        icy = lax.broadcasted_iota(jnp.int32, (1, Yc, Zc), 1)
+        icz = lax.broadcasted_iota(jnp.int32, (1, Yc, Zc), 2)
+        mc_tail = ((icy >= 1) & (icz >= 1)).astype(dtype)
+        for p in range(nblk):
+            c0 = p * Bc
+            s = min(max(2 * c0 - 2, 0), X - ext)
+            cp_v = pltpu.make_async_copy(
+                v_hbm.at[pl.ds(s, ext)], buf_v.at[pl.ds(0, ext)], sem.at[0]
+            )
+            cp_v.start()
+            if with_residual:
+                cp_f = pltpu.make_async_copy(
+                    f_hbm.at[pl.ds(s, ext)],
+                    buf_f.at[pl.ds(0, ext)],
+                    sem.at[1],
+                )
+                cp_f.start()
+                cp_v.wait()
+                cp_f.wait()
+                g = s + lax.broadcasted_iota(jnp.int32, (loc, 1, 1), 0)
+                rx = ((g >= 1) & (g <= X - 1)).astype(dtype)
+                r = (
+                    buf_f[:]
+                    - problem.kernel_operator(buf_v[:], geom_f, _roll)
+                ) * (m_tail * rx)
+            else:
+                cp_v.wait()
+                r = buf_v[:]
+            off = 2 * c0 - s  # static, even
+            sm_yz = _resample_yz(r, my_ref[:], mz_ref[:])  # (loc, Yc, Zc)
+            sm = (
+                0.25 * _roll(sm_yz, 0, -1)
+                + 0.5 * sm_yz
+                + 0.25 * _roll(sm_yz, 0, +1)
+            )
+            sm_p = sm[off : off + 2 * Bc].reshape(Bc, 2, Yc, Zc)[:, 0]
+            inj_yz = _resample_yz(
+                r[off : off + 2 * Bc].reshape(Bc, 2, Y, Z)[:, 0],
+                jy_ref[:],
+                jz_ref[:],
+            )
+            gc_rows = c0 + lax.broadcasted_iota(jnp.int32, (Bc, 1, 1), 0)
+            mc = mc_tail * (gc_rows >= 1).astype(dtype)
+            out = inj_yz + mc * (sm_p - inj_yz)
+            cp_o = pltpu.make_async_copy(
+                buf_o.at[:], o_hbm.at[pl.ds(c0, Bc)], sem.at[2]
+            )
+            buf_o[:] = out
+            cp_o.start()
+            cp_o.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Xc, Yc, Zc), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((loc,) + tail, dtype),
+            pltpu.VMEM((loc,) + tail, dtype),
+            pltpu.VMEM((Bc, Yc, Zc), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    if with_residual:
+
+        def run(v, f):
+            return call(v, f, My, Mz, Jy, Jz)
+
+    else:
+
+        def run(a):
+            return call(a, a, My, Mz, Jy, Jz)
+
+    return run
+
+
+# ---------------------------------------------------- prolongation + blend
+
+
+def make_prolong_blend(
+    geom_c: LevelGeometry,
+    geom_f: LevelGeometry,
+    dtype,
+    mode: str,
+    interpret=False,
+):
+    """Fused kernel: trilinear prolongation of the coarse array blended
+    into the fine array on the interior.
+
+      mode='add':     out = vb + m_int * up(c)        (coarse-grid correction)
+      mode='replace': out = vb + m_int * (up(c) - vb) (FMG solution transfer)
+    """
+    X, Y, Z = geom_f.padded_shape
+    Xc, Yc, Zc = geom_c.padded_shape
+    assert geom_f.wrap and geom_c.wrap and geom_f.ndim == 3
+    assert (X, Y, Z) == (2 * Xc, 2 * Yc, 2 * Zc)
+    assert mode in ("add", "replace")
+    Bf = min(16, X)
+    nblk = X // Bf
+    assert nblk * Bf == X and Bf % 2 == 0
+    Bc = Bf // 2
+    locc = Bc + 1
+    Uy = jnp.asarray(_prolong_mat(Yc).T.copy())  # (Y, Yc): left-dot form
+    Uz = jnp.asarray(_prolong_mat(Zc))
+
+    def kernel(c_hbm, vb_hbm, uy_ref, uz_ref, o_hbm, buf_c, buf_v, sem):
+        iy = lax.broadcasted_iota(jnp.int32, (1, Y, Z), 1)
+        iz = lax.broadcasted_iota(jnp.int32, (1, Y, Z), 2)
+        m_tail = ((iy >= 1) & (iz >= 1)).astype(dtype)
+        for p in range(nblk):
+            f0 = p * Bf
+            c0 = f0 // 2
+            ncr = min(Bc + 1, Xc - c0)  # coarse rows physically available
+            cp_c = pltpu.make_async_copy(
+                c_hbm.at[pl.ds(c0, ncr)], buf_c.at[pl.ds(0, ncr)], sem.at[0]
+            )
+            cp_v = pltpu.make_async_copy(
+                vb_hbm.at[pl.ds(f0, Bf)], buf_v.at[pl.ds(0, Bf)], sem.at[1]
+            )
+            cp_c.start()
+            cp_v.start()
+            cp_c.wait()
+            cp_v.wait()
+            if ncr == Bc:  # top block: row Bc is the x-wrap zero boundary
+                buf_c[Bc : Bc + 1] = jnp.zeros((1, Yc, Zc), dtype)
+            c = buf_c[0 : Bc + 1]
+            cyz = _resample_yz(c, uy_ref[:], uz_ref[:])  # (Bc+1, Y, Z)
+            even = cyz[:Bc]
+            odd = 0.5 * (cyz[:Bc] + cyz[1 : Bc + 1])
+            up = jnp.stack([even, odd], axis=1).reshape(Bf, Y, Z)
+            gf_rows = f0 + lax.broadcasted_iota(jnp.int32, (Bf, 1, 1), 0)
+            m = m_tail * (gf_rows >= 1).astype(dtype)
+            vb = buf_v[0:Bf]
+            out = vb + m * up if mode == "add" else vb + m * (up - vb)
+            cp_o = pltpu.make_async_copy(
+                buf_v.at[pl.ds(0, Bf)], o_hbm.at[pl.ds(f0, Bf)], sem.at[2]
+            )
+            buf_v[0:Bf] = out
+            cp_o.start()
+            cp_o.wait()
+
+    call = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((locc, Yc, Zc), dtype),
+            pltpu.VMEM((Bf, Y, Z), dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        interpret=interpret,
+    )
+
+    def run(c, vb):
+        return call(c, vb, Uy, Uz)
+
+    return run
+
+
+def planner_ok(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
+    """Transfer kernels cover wrap-mode 3D level pairs (the flagship
+    path); everything else stays on the jnp tier."""
+    if not (geom_f.wrap and geom_c.wrap and geom_f.ndim == 3):
+        return False
+    X, Y, Z = geom_f.padded_shape
+    Xc, Yc, Zc = geom_c.padded_shape
+    if (X, Y, Z) != (2 * Xc, 2 * Yc, 2 * Zc) or min(Xc, Yc, Zc) < 2:
+        return False
+    plane = Y * Z * 4
+    loc = min(2 * min(8, Xc) + 4, X) + 1
+    return plane * (2 * loc + 6) <= TRANSFER_VMEM_BUDGET

@@ -100,6 +100,9 @@ def test_grid_dump_and_diff_stats(tmp_path):
 def test_cli_driver_smoke():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # skip the TPU-relay plugin registration entirely: its connection
+    # attempt can hang the subprocess at interpreter startup
+    env["PALLAS_AXON_POOL_IPS"] = ""
     out = subprocess.run(
         [
             sys.executable,

@@ -112,3 +112,112 @@ def test_plan_relax_covers_all_levels_3d():
     h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
     for g in h.geoms:
         assert R.plan_relax(prob, g, F32, interpret=True) is not None
+
+
+# ---------------------------------------------- split-color slab kernel
+
+
+def _wrap_level(prob, n):
+    from pde_multigrid_tpu.grid import base_aux, build_geometries
+
+    geoms = build_geometries((n,) * prob.ndim, prob.domain, wrap=True)
+    geom = geoms[0]
+    assert geom.wrap
+    aux = base_aux(geom)
+    v = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        * np.asarray(aux["m_int"])
+    )
+    f = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+    )
+    return geoms, geom, aux, v, f
+
+
+@pytest.mark.parametrize("B", [4, 8])
+def test_split_slab_kernel_matches_jnp(B):
+    """Color-split storage relaxation == dense masked relaxation, bitwise
+    (same update order, same arithmetic)."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, 17)
+    fn = R.make_split_slab_relax(prob, geom, F32, B, interpret=True)
+    for ns in (1, 4):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_split_colors_roundtrip():
+    from pde_multigrid_tpu.ops.pallas.relax import (
+        _split_qmask,
+        merge_colors,
+        split_colors,
+    )
+
+    a = jnp.asarray(RNG.standard_normal((8, 8, 8)).astype(np.float32))
+    qb = _split_qmask(8, 8)
+    r, b = split_colors(a, qb)
+    back = np.asarray(merge_colors(r, b, qb))
+    np.testing.assert_array_equal(back, np.asarray(a))
+
+
+# ------------------------------------------------ fused transfer kernels
+
+
+def test_fused_residual_restrict_matches_jnp():
+    from pde_multigrid_tpu.cycles import JnpKernels
+    from pde_multigrid_tpu.grid import base_aux
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    prob = Poisson(3)
+    geoms, gf, auxf, v, f = _wrap_level(prob, 17)
+    gc = geoms[1]
+    auxc = base_aux(gc)
+    jk = JnpKernels(prob, geoms)
+    rr = T.make_residual_restrict(prob, gf, gc, F32, interpret=True)
+    got = np.asarray(rr(v, f))
+    r = jk.residual(0, v, f, auxf)
+    want = np.asarray(jk.restrict(0, r, auxc["m_int"], auxc["m_log"]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # restrict-only variant must also match on data with nonzero
+    # boundary values (FMG RHS cascade injects the fine boundary)
+    ro = T.make_residual_restrict(
+        prob, gf, gc, F32, interpret=True, with_residual=False
+    )
+    got = np.asarray(ro(f))
+    want = np.asarray(jk.restrict(0, f, auxc["m_int"], auxc["m_log"]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["add", "replace"])
+def test_fused_prolong_blend_matches_jnp(mode):
+    from pde_multigrid_tpu.cycles import JnpKernels
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    prob = Poisson(3)
+    geoms, gf, auxf, v, f = _wrap_level(prob, 17)
+    gc = geoms[1]
+    cv = RNG.standard_normal(gc.padded_shape).astype(np.float32)
+    for a in range(3):  # wrap invariant: stored plane 0 is the boundary
+        sl = [slice(None)] * 3
+        sl[a] = 0
+        cv[tuple(sl)] = 0.0
+    cv = jnp.asarray(cv)
+    jk = JnpKernels(prob, geoms)
+    pb = T.make_prolong_blend(gc, gf, F32, mode, interpret=True)
+    got = np.asarray(pb(cv, v))
+    up = jk.prolong(0, cv)
+    if mode == "add":
+        want = np.asarray(v + auxf["m_int"] * up)
+    else:
+        want = np.asarray(v + auxf["m_int"] * (up - v))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
