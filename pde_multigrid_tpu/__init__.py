@@ -18,7 +18,14 @@ schedulers over the level hierarchy, traced once and compiled by XLA.
 from pde_multigrid_tpu.grid import Level, LevelGeometry, Hierarchy
 from pde_multigrid_tpu.config import CycleConfig, SolverConfig
 from pde_multigrid_tpu.solver import MultigridSolver, SolveResult
-from pde_multigrid_tpu.models import Ode1D, Lyapunov2D, Poisson, Poisson3D, VariableCoefficientPoisson
+from pde_multigrid_tpu.models import (
+    HJBMinTime,
+    Lyapunov2D,
+    Ode1D,
+    Poisson,
+    Poisson3D,
+    VariableCoefficientPoisson,
+)
 
 __version__ = "0.1.0"
 
@@ -31,6 +38,7 @@ __all__ = [
     "MultigridSolver",
     "SolveResult",
     "Ode1D",
+    "HJBMinTime",
     "Lyapunov2D",
     "Poisson",
     "Poisson3D",

@@ -47,6 +47,7 @@ PRESETS = {
 
 def build_problem(name: str, domain_hi: float | None):
     from pde_multigrid_tpu import (
+        HJBMinTime,
         Lyapunov2D,
         Ode1D,
         Poisson,
@@ -54,6 +55,12 @@ def build_problem(name: str, domain_hi: float | None):
     )
 
     dims = {"ode1d": 1, "lyapunov2d": 2}
+    if name in ("hjb2d", "hjb2d-tesi"):
+        hi = domain_hi or 1.0
+        return HJBMinTime(
+            domain=((-hi, hi), (-hi, hi)),
+            scheme="tesi" if name.endswith("tesi") else "upwind",
+        )
     if name == "ode1d":
         dom = ((0.0, domain_hi or 1.0),)
         return Ode1D(domain=dom)
@@ -76,7 +83,7 @@ def main(argv=None):
     ap.add_argument(
         "--problem",
         default="poisson3d",
-        help="ode1d | lyapunov2d | poisson{1,2,3}d | varcoef{1,2,3}d",
+        help="ode1d | lyapunov2d | poisson{1,2,3}d | varcoef{1,2,3}d | hjb2d[-tesi]",
     )
     ap.add_argument("--n", type=int, default=129, help="points per axis (2^k+1)")
     ap.add_argument("--domain", type=float, default=None, help="domain upper bound")
@@ -87,6 +94,12 @@ def main(argv=None):
     ap.add_argument("--mu", type=int, default=1)
     ap.add_argument(
         "--smoother", default="rbgs", help="rbgs | jacobi | line-K | exact"
+    )
+    ap.add_argument(
+        "--scheme",
+        choices=["cs", "fas"],
+        default="cs",
+        help="coarse-grid correction: cs (linear) | fas (nonlinear)",
     )
     ap.add_argument("--omega", type=float, default=1.0)
     ap.add_argument(
@@ -126,6 +139,7 @@ def main(argv=None):
             smoother=args.smoother,
             omega=args.omega,
             coarse_operator=args.coarse_operator,
+            scheme=args.scheme,
         ),
         dtype=args.dtype,
         backend=args.backend,

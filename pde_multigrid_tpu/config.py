@@ -37,6 +37,11 @@ class CycleConfig:
     # level re-derives the PDE at its own spacing) or "galerkin" (A_c =
     # R A_f P via the implicit-stencil layer, ops/galerkin.py)
     coarse_operator: str = "rediscretize"
+    # coarse-grid correction scheme: "cs" (linear correction scheme, the
+    # reference's method) or "fas" (Full Approximation Scheme — required
+    # for nonlinear operators such as the HJB problem, thesis §3.3;
+    # equivalent to "cs" for linear operators)
+    scheme: str = "cs"
 
     def __post_init__(self):
         if self.kind not in ("v", "w", "fmg"):
@@ -52,6 +57,13 @@ class CycleConfig:
         if self.coarse_operator not in ("rediscretize", "galerkin"):
             raise ValueError(
                 f"unknown coarse_operator {self.coarse_operator!r}"
+            )
+        if self.scheme not in ("cs", "fas"):
+            raise ValueError(f"unknown scheme {self.scheme!r}")
+        if self.scheme == "fas" and self.coarse_operator == "galerkin":
+            raise ValueError(
+                "FAS re-evaluates the nonlinear operator per level; "
+                "galerkin coarse operators are a linear-only concept"
             )
 
 

@@ -156,6 +156,8 @@ class CycleProgram:
         return _set(levels, l, dataclasses.replace(lvl, v=v))
 
     def v_cycle(self, levels: Levels, l: int = 0) -> Levels:
+        if self.config.scheme == "fas":
+            return self.fas_v_cycle(levels, l)
         cfg = self.config
         levels = self._relax(levels, l, cfg.nu1)
         if l != len(self.geoms) - 1:
@@ -191,6 +193,43 @@ class CycleProgram:
                 v = stencil.apply_correction(
                     fine.v, err, fine.aux["m_int"]
                 )
+            levels = _set(levels, l, dataclasses.replace(fine, v=v))
+        levels = self._relax(levels, l, cfg.nu2)
+        return levels
+
+    def fas_v_cycle(self, levels: Levels, l: int = 0) -> Levels:
+        """Full Approximation Scheme V-cycle (nonlinear multigrid).
+
+        Extension beyond the reference (SURVEY.md §2.3: "no FAS"): the
+        coarse level solves the full nonlinear equation
+            N_c(v_c) = N_c(Rhat v_f) + R (f_f - N_f(v_f))
+        starting from Rhat v_f (injection), and the fine level receives
+        the coarse CHANGE, v_f += P (v_c - Rhat v_f).  Required for
+        nonlinear operators (models/hjb.py); reduces exactly to the
+        correction scheme for linear N."""
+        cfg = self.config
+        levels = self._relax(levels, l, cfg.nu1)
+        if l != len(self.geoms) - 1:
+            fine = levels[l]
+            coarse = levels[l + 1]
+            r = self.kernels.residual(l, fine.v, fine.f, fine.aux)
+            rc = self.kernels.restrict(
+                l, r, coarse.aux["m_int"], coarse.aux["m_log"]
+            )
+            v0c = stencil.inject(fine.v, coarse.v.shape)
+            # f_c = N_c(v0c) + R r on the interior; m_int*(N_c v) is
+            # exactly -residual(v, 0)
+            zero = jnp.zeros_like(v0c)
+            fc = rc - self.kernels.residual(l + 1, v0c, zero, coarse.aux)
+            levels = _set(
+                levels, l + 1, dataclasses.replace(coarse, v=v0c, f=fc)
+            )
+            for _ in range(cfg.mu):
+                levels = self.fas_v_cycle(levels, l + 1)
+            err_c = levels[l + 1].v - v0c
+            fine = levels[l]
+            err = self.kernels.prolong(l, err_c)
+            v = stencil.apply_correction(fine.v, err, fine.aux["m_int"])
             levels = _set(levels, l, dataclasses.replace(fine, v=v))
         levels = self._relax(levels, l, cfg.nu2)
         return levels

@@ -12,5 +12,14 @@ from pde_multigrid_tpu.models.ode1d import Ode1D
 from pde_multigrid_tpu.models.lyapunov2d import Lyapunov2D
 from pde_multigrid_tpu.models.poisson import Poisson, Poisson3D
 from pde_multigrid_tpu.models.varcoef import VariableCoefficientPoisson
+from pde_multigrid_tpu.models.hjb import HJBMinTime
 
-__all__ = ["Problem", "Ode1D", "Lyapunov2D", "Poisson", "Poisson3D", "VariableCoefficientPoisson"]
+__all__ = [
+    "Problem",
+    "Ode1D",
+    "Lyapunov2D",
+    "Poisson",
+    "Poisson3D",
+    "VariableCoefficientPoisson",
+    "HJBMinTime",
+]

@@ -1,0 +1,203 @@
+"""Time-optimal ("bang-bang") control of the double integrator via the
+Kruzkov-transformed Hamilton-Jacobi-Bellman equation — thesis §3.3.
+
+This is the fourth problem family of the reference: derived in the thesis
+(eqs. 3.3.1-3.3.17) but NEVER implemented there — the author reports the
+results "non costituivano una valida approssimazione" and excluded it from
+the benchmarks (thesis p. 62-63).  We implement it fully, including the
+nonlinear multigrid (FAS) machinery the correction scheme lacks.
+
+Problem.  Minimum-time control of  x1' = x2,  x2' = u,  |u| <= 1,  to the
+origin.  The value function V(x) (minimum time) satisfies the static HJB
+equation  0 = inf_u {1 + V_x1 x2 + V_x2 u} = 1 + x2 V_x1 - |V_x2|
+(thesis eq. 3.3.10-3.3.12); the optimal control is bang-bang,
+u* = -sign(V_x2) (eq. 3.3.11).  The Kruzkov transform W = 1 - e^{-V}
+(eq. 3.3.14) maps V's unbounded growth onto [0, 1) and yields
+
+    N(W) :=  W - x2 W_x1 + |W_x2|  =  1,      W(0) = 0        (eq. 3.3.15)
+
+a NONLINEAR first-order PDE (the |W_x2| term switches with the solution's
+own gradient — the bang-bang switching surface).
+
+Analytic oracle.  The double integrator's minimum time is classical
+closed form: with the switching curve x1 = -x2 |x2| / 2,
+
+    T(x)  =  x2 + 2 sqrt(x2^2/2 + x1)     right of the curve (u = -1 leg)
+    T(x)  = -x2 + 2 sqrt(x2^2/2 - x1)     left  of the curve (u = +1 leg)
+
+and W = 1 - e^{-T}.  Dirichlet data on the domain boundary comes from the
+oracle (the thesis instead imposes W = 1 on a "large enough" box, an
+approximation it identifies as a weakness); the target condition W(0) = 0
+is enforced by pinning the origin grid point (present at every level for
+symmetric domains).
+
+Discretizations (`scheme`):
+  * "upwind" (default): monotone Godunov scheme.  The advection term
+    -x2 W_x1 upwinds by sign(x2) (neighbor E for x2 > 0, W for x2 < 0);
+    the eikonal term |W_x2| takes the Godunov form
+    max(W - min(S, N), 0)/h2.  The pointwise solve has the classic
+    fast-sweeping two-candidate structure and the scheme is monotone, so
+    nonlinear red-black Gauss-Seidel converges.
+  * "tesi": the thesis' own eq. 3.3.17 — FORWARD differences on both
+    axes with three sign branches.  Kept for parity/documentation; it is
+    not monotone for x2 < 0 (the denominator h1 h2 + h2 x2 -+ h1 changes
+    sign), which is consistent with the thesis' reported failure.
+
+Axes: coords[0] = x1, coords[1] = x2 (matching Lyapunov2D's layout).
+
+Accuracy envelope (cross-validated).  The value function's gradient is
+discontinuous across the switching curve x1 = -x2|x2|/2 and T ~ 2 sqrt|x|
+at the target, so ANY first-order monotone scheme carries O(sqrt(h))
+error near the curve with downstream smearing.  An independent
+semi-Lagrangian Kruzkov value iteration (bilinear interpolation,
+u in {-1, 1}) reproduces the same envelope at 65^2 — err_linf 0.19 /
+0.13 away from the curve vs 0.20 / 0.14 for this scheme — confirming
+the error is intrinsic to the discretization order, not the solver:
+the discrete system itself is solved to ~1e-6 residual by FAS cycles.
+This quantifies (and survives) the failure mode that made the thesis
+drop the problem.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from pde_multigrid_tpu.grid import Level, LevelGeometry
+from pde_multigrid_tpu.models.base import ProblemBase
+
+Array = jax.Array
+
+
+def min_time_double_integrator(x1, x2):
+    """Closed-form minimum time to the origin for x1'=x2, x2'=u, |u|<=1."""
+    half = 0.5 * x2 * jnp.abs(x2)
+    right = x1 > -half
+    t_r = x2 + 2.0 * jnp.sqrt(jnp.maximum(0.5 * x2 * x2 + x1, 0.0))
+    t_l = -x2 + 2.0 * jnp.sqrt(jnp.maximum(0.5 * x2 * x2 - x1, 0.0))
+    return jnp.where(right, t_r, t_l)
+
+
+class HJBMinTime(ProblemBase):
+    """Kruzkov-transformed minimum-time HJB for the double integrator."""
+
+    ndim = 2
+    name = "hjb2d"
+
+    def __init__(
+        self,
+        domain: tuple[tuple[float, float], ...] = (
+            (-1.0, 1.0),
+            (-1.0, 1.0),
+        ),
+        scheme: str = "upwind",
+        pin_radius_cells: float = 2.0,
+    ):
+        """pin_radius_cells: radius (in units of the level's max grid
+        spacing) of the ball around the origin pinned to the exact value.
+        T(x) ~ 2 sqrt(|x|) has an infinite gradient at the target, so a
+        first-order scheme initialized from the exact solution in an
+        O(h)-ball regains its O(h)-away-from-kinks accuracy — the same
+        device fast-marching solvers use.  0 pins just the origin point
+        (the thesis' W(0) = 0 condition alone)."""
+        if scheme not in ("upwind", "tesi"):
+            raise ValueError(f"unknown HJB scheme {scheme!r}")
+        self.domain = tuple(tuple(d) for d in domain)
+        self.scheme = scheme
+        self.pin_radius_cells = float(pin_radius_cells)
+
+    # -- oracle / data ------------------------------------------------------
+
+    def exact_solution(self, coords: tuple[Array, ...]) -> Array:
+        t = min_time_double_integrator(coords[0], coords[1])
+        return 1.0 - jnp.exp(-t)
+
+    def rhs(self, coords: tuple[Array, ...]) -> Array:
+        return jnp.ones_like(coords[0])
+
+    def make_aux(self, geom: LevelGeometry, dtype=jnp.float32):
+        _, x2 = geom.coords(dtype)
+        return {"x2": x2}
+
+    def init_level(self, geom: LevelGeometry, dtype=jnp.float32) -> Level:
+        lvl = super().init_level(geom, dtype)
+        # pin the target region: W(0) = 0 anchors the solution (thesis
+        # eq. 3.3.15's second condition); characteristics radiate from
+        # it.  Pin a pin_radius_cells * max(h) ball with exact values.
+        import numpy as np
+
+        x1, x2 = (np.asarray(c) for c in geom.coords(dtype))
+        r0 = self.pin_radius_cells * max(geom.spacing)
+        pinned = (x1 * x1 + x2 * x2) <= max(r0, 1e-12) ** 2
+        if not pinned.any():
+            return lvl
+        aux = dict(lvl.aux)
+        keep = jnp.asarray(~pinned, lvl.v.dtype)
+        for k in ("m_int", "m_red", "m_black"):
+            aux[k] = aux[k] * keep
+        # exact Dirichlet data inside the pinned ball (W(0) = 0 at the
+        # origin itself); masks no longer update these points
+        w_exact = self.exact_solution((jnp.asarray(x1), jnp.asarray(x2)))
+        v = jnp.where(jnp.asarray(pinned), w_exact.astype(lvl.v.dtype), lvl.v)
+        return dataclasses.replace(lvl, v=v, aux=aux)
+
+    # -- nonlinear operator and relaxation ----------------------------------
+
+    def _upwind_parts(self, v, geom, aux):
+        h1 = jnp.asarray(geom.spacing[0], v.dtype)
+        h2 = jnp.asarray(geom.spacing[1], v.dtype)
+        x2 = aux["x2"]
+        c1 = jnp.abs(x2) / h1
+        nb1 = jnp.where(
+            x2 > 0, self.shift(v, 0, +1), self.shift(v, 0, -1)
+        )
+        m2 = jnp.minimum(self.shift(v, 1, +1), self.shift(v, 1, -1))
+        c2 = 1.0 / h2
+        return c1, nb1, c2, m2
+
+    def apply_operator(self, v, geom: LevelGeometry, aux) -> Array:
+        if self.scheme == "tesi":
+            h1 = jnp.asarray(geom.spacing[0], v.dtype)
+            h2 = jnp.asarray(geom.spacing[1], v.dtype)
+            x2 = aux["x2"]
+            e = self.shift(v, 0, +1)
+            s = self.shift(v, 1, +1)
+            # N(W) = W - x2 (E - C)/h1 + |(S - C)/h2| with forward diffs
+            return v - x2 * (e - v) / h1 + jnp.abs((s - v) / h2)
+        c1, nb1, c2, m2 = self._upwind_parts(v, geom, aux)
+        return v + c1 * (v - nb1) + c2 * jnp.maximum(v - m2, 0.0)
+
+    def relax_update(self, v, f, geom: LevelGeometry, aux) -> Array:
+        if self.scheme == "tesi":
+            return self._relax_tesi(v, f, geom, aux)
+        c1, nb1, c2, m2 = self._upwind_parts(v, geom, aux)
+        # candidate with the eikonal term inactive / active; the standard
+        # fast-sweeping consistency selection (W_in <= m2 <=> inactive)
+        w_in = (f + c1 * nb1) / (1.0 + c1)
+        w_act = (f + c1 * nb1 + c2 * m2) / (1.0 + c1 + c2)
+        return jnp.where(w_in <= m2, w_in, w_act)
+
+    def _relax_tesi(self, v, f, geom: LevelGeometry, aux) -> Array:
+        """Thesis eq. 3.3.17 verbatim (generalized to RHS f for coarse
+        levels): three branches on sign(W_x2), forward differences."""
+        h1 = jnp.asarray(geom.spacing[0], v.dtype)
+        h2 = jnp.asarray(geom.spacing[1], v.dtype)
+        x2 = aux["x2"]
+        e = self.shift(v, 0, +1)
+        s = self.shift(v, 1, +1)
+        grad2 = (s - v) / h2
+        num_pos = f * h1 * h2 + e * h2 * x2 - h1 * s
+        den_pos = h1 * h2 + h2 * x2 - h1
+        num_neg = f * h1 * h2 + e * h2 * x2 + h1 * s
+        den_neg = h1 * h2 + h2 * x2 + h1
+        num_zero = f * h1 + e * x2
+        den_zero = h1 + x2
+        eps = jnp.asarray(1e-12, v.dtype)
+        w = jnp.where(
+            grad2 > eps,
+            num_pos / den_pos,
+            jnp.where(grad2 < -eps, num_neg / den_neg, num_zero / den_zero),
+        )
+        return w

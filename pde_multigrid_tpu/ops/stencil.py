@@ -249,6 +249,14 @@ def prolong_linear(
     return a
 
 
+def inject(fine: Array, coarse_shape: tuple[int, ...]) -> Array:
+    """Straight injection fine -> coarse: coarse[j] = fine[2j] (the
+    reference's boundary-row transfer, used by FAS for restricting the
+    current solution approximation)."""
+    sub = (slice(None, None, 2),) * fine.ndim
+    return _fit(fine[sub], coarse_shape)
+
+
 def apply_correction(v: Array, error: Array, m_int: Array) -> Array:
     """v <- v + e on the interior only (reference ApplyCorrection,
     MultiGrid1D.cpp:177-188)."""

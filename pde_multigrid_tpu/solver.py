@@ -275,6 +275,10 @@ class MultigridSolver:
         history.append(float(l2))
         if metrics:
             metrics.cycle(0, history[-1], None, kind=cfg.cycle.kind)
+        if not np.isfinite(history[-1]):
+            # NaN compares False against any tolerance — catch it before
+            # the while condition silently reports convergence
+            diverged = True
         best = history[-1]
         n = 1
         while history[-1] > cfg.tol and n < cfg.max_cycles:
