@@ -149,6 +149,17 @@ def main():
         f"device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )
+    from pde_multigrid_tpu.utils import roofline
+
+    _, model_bytes, _ = roofline.cycle_traffic_model(
+        solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu
+    )
+    pct = roofline.percent_of_roofline(per_step, model_bytes)
+    print(
+        f"[bench] HBM-traffic model {model_bytes/1e9:.2f} GB/step -> "
+        f"{pct:.0f}% of the {roofline.DEFAULT_HBM_GBPS:.0f} GB/s roofline",
+        file=sys.stderr,
+    )
     # sanity: converged to discretization accuracy (h=1/(n-1))
     h = 1.0 / (args.n - 1)
     assert err_linf < 50 * h * h, (

@@ -1,0 +1,142 @@
+"""Roofline accounting for the multigrid kernels (SURVEY.md §7 L2).
+
+The headline metric (BASELINE.json) is smoother DOF-updates/s/chip
+against the memory roofline: every relaxation sweep must stream the
+level's v (read+write) and f (read) through HBM once the level exceeds
+VMEM, so
+
+    bytes/update  =  dtype_size * (r_v + w_v + r_f) * stored / interior
+    roofline updates/s  =  HBM_BW / bytes_per_update
+
+For the double-buffered slab kernels the reads carry an ext/B halo
+factor; VMEM-resident levels amortize HBM traffic over all nu sweeps of
+a relax leg (bytes/update ~ 3/nu per point — effectively compute-bound).
+
+`cycle_traffic_model` walks a cycle schedule and reports per-level
+traffic, the model's aggregate bytes, and the implied roofline time at a
+given bandwidth, so measured per-step times translate into a
+percent-of-roofline figure (bench.py --roofline).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+# v5e nominal HBM bandwidth; override per chip generation when known.
+DEFAULT_HBM_GBPS = 819.0
+
+
+@dataclasses.dataclass
+class LevelTraffic:
+    level: int
+    stored_points: int
+    interior_points: int
+    resident: bool
+    bytes_per_sweep: float  # HBM bytes per full red-black sweep
+    sweeps: int
+
+    @property
+    def bytes_total(self) -> float:
+        return self.bytes_per_sweep * self.sweeps
+
+
+def _stored_points(shape: Sequence[int]) -> int:
+    out = 1
+    for n in shape:
+        out *= n
+    return out
+
+
+def _interior_points(logical_shape: Sequence[int]) -> int:
+    out = 1
+    for n in logical_shape:
+        out *= max(n - 2, 1)
+    return out
+
+
+def relax_traffic(
+    geom,
+    sweeps: int,
+    dtype_size: int = 4,
+    resident_budget: int = 9 * 2**20,
+    slab_halo_rows: int = 4,
+    slab_block_rows: int = 16,
+) -> LevelTraffic:
+    """HBM-traffic model of one relax leg at one level.
+
+    Resident levels (fit in VMEM): one read of v and f plus one write of
+    v per LEG regardless of nu.  Slab levels: per sweep, v and f are read
+    with the trapezoidal halo factor (B + halo)/B and v is written once.
+    """
+    stored = _stored_points(geom.padded_shape)
+    arr_bytes = stored * dtype_size
+    resident = arr_bytes * 7 <= resident_budget
+    if resident:
+        per_leg = 3 * arr_bytes  # read v, read f, write v — whole leg
+        per_sweep = per_leg / max(sweeps, 1)
+    else:
+        halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
+        per_sweep = arr_bytes * (2 * halo_f + 1)
+    return LevelTraffic(
+        level=-1,
+        stored_points=stored,
+        interior_points=_interior_points(geom.shape),
+        resident=resident,
+        bytes_per_sweep=per_sweep,
+        sweeps=sweeps,
+    )
+
+
+def cycle_traffic_model(
+    geoms,
+    kind: str,
+    nu0: int,
+    nu1: int,
+    nu2: int,
+    mu: int = 1,
+    dtype_size: int = 4,
+):
+    """Per-level relax-leg counts and traffic for a V/FMG schedule (the
+    transfer ops add one ~3-array pass per instance — folded in as a
+    flat 10% overhead rather than op-by-op accounting)."""
+    nlev = len(geoms)
+    legs = [0] * nlev
+
+    def v_cycle(l):
+        legs[l] += 2  # nu1 + nu2 legs
+        if l < nlev - 1:
+            for _ in range(mu):
+                v_cycle(l + 1)
+
+    if kind in ("v", "w"):
+        v_cycle(0)
+    elif kind == "fmg":
+        for root in range(nlev):
+            for _ in range(nu0):
+                v_cycle(root)
+    else:
+        raise ValueError(kind)
+
+    rows = []
+    total_bytes = 0.0
+    total_updates = 0.0
+    for l, g in enumerate(geoms):
+        nu = (nu1 + nu2) // 2 or 1
+        t = relax_traffic(g, nu, dtype_size)
+        t = dataclasses.replace(t, level=l, sweeps=legs[l] * nu)
+        rows.append(t)
+        total_bytes += t.bytes_total
+        total_updates += t.interior_points * t.sweeps
+    total_bytes *= 1.10  # transfer-op overhead
+    return rows, total_bytes, total_updates
+
+
+def percent_of_roofline(
+    measured_seconds: float,
+    model_bytes: float,
+    hbm_gbps: float = DEFAULT_HBM_GBPS,
+) -> float:
+    """Measured step time vs the HBM-bandwidth-bound model time."""
+    t_model = model_bytes / (hbm_gbps * 1e9)
+    return 100.0 * t_model / max(measured_seconds, 1e-12)
