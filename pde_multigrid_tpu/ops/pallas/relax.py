@@ -496,6 +496,57 @@ def make_merged_resident_relax(
     return relax
 
 
+# ---------------------------------------------- masked block (shard-local)
+
+
+def make_masked_block_relax(
+    problem, geom: LevelGeometry, dtype, block_shape, pre_keys, interpret=False
+):
+    """relax(v_ext, f_ext, pre, m_red, m_black, nsweeps) for a VMEM-sized
+    local block whose masks/coefficients arrive as INPUTS.
+
+    Built for shard_map shards (parallel/halo.py): the shard's global row
+    offset is a traced value (lax.axis_index), so masks cannot be folded
+    into the kernel at trace time like the single-chip kernels do; they
+    are computed once per relax leg outside (amortized over all sweeps)
+    and streamed in.  The sweep loop itself — the hot path — runs in one
+    kernel invocation with a single HBM round trip."""
+    shape = tuple(block_shape)
+    pre_keys = tuple(pre_keys)
+
+    def kernel(*refs, nsweeps):
+        v_ref, f_ref, mr_ref, mb_ref = refs[:4]
+        pre = {k: r[:] for k, r in zip(pre_keys, refs[4 : 4 + len(pre_keys)])}
+        o_ref = refs[-1]
+        o_ref[:] = _sweeps(
+            problem,
+            geom,
+            v_ref[:],
+            f_ref[:],
+            pre,
+            mr_ref[:],
+            mb_ref[:],
+            nsweeps,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=jax.ShapeDtypeStruct(shape, dtype),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * (4 + len(pre_keys)),
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )
+
+    def relax(v_ext, f_ext, pre, m_red, m_black, nsweeps: int):
+        args = [v_ext, f_ext, m_red, m_black] + [pre[k] for k in pre_keys]
+        return build(nsweeps)(*args)
+
+    return relax
+
+
 # ------------------------------------------------- split-color slab kernel
 
 

@@ -41,11 +41,16 @@ def make_sharded_relax(
     mesh,
     dtype,
     sweeps_per_exchange: int = 1,
+    use_pallas: bool | None = None,
 ):
     """Build relax(v, f, nsweeps) running under shard_map on `mesh`.
 
     v/f are global arrays sharded along axis 0 (P('x')); the result keeps
-    that sharding."""
+    that sharding.  When the shard-local extended block fits VMEM and the
+    problem has a kernel-tier update, the T-sweep chunk runs as ONE Pallas
+    kernel per exchange (masks/coefficients stream in as inputs — they are
+    shard-offset-dependent and computed once per relax leg); otherwise the
+    chunk runs as jnp masked updates."""
     X = geom.padded_shape[0]
     n = mesh.shape[SHARD_AXIS]
     if X % n:
@@ -61,6 +66,42 @@ def make_sharded_relax(
     spec = P(SHARD_AXIS, *([None] * (nd - 1)))
     fwd = [(j, (j + 1) % n) for j in range(n)]
     bwd = [(j, (j - 1) % n) for j in range(n)]
+
+    # per-shard Pallas kernel for the T-sweep chunk (the multi-chip hot
+    # path analogue of the single-chip resident kernel)
+    ext_shape = (x_loc + 2 * halo,) + tuple(geom.padded_shape[1:])
+    pallas_chunk = None
+    if use_pallas is not False and nd >= 2:
+        from pde_multigrid_tpu.models.base import ProblemBase
+        from pde_multigrid_tpu.ops.pallas import dispatch as _pd
+        from pde_multigrid_tpu.ops.pallas import relax as _pr
+
+        has_kernel = (
+            type(problem).kernel_update is not ProblemBase.kernel_update
+        )
+        blk_bytes = _pr.tile_padded_bytes(ext_shape)
+        fits = blk_bytes * 9 <= _pr.RESIDENT_VMEM_BUDGET
+        if has_kernel and (fits or use_pallas):
+            pre_keys = tuple(
+                sorted(
+                    problem.kernel_precompute(
+                        tuple(
+                            jnp.zeros((1,) * max(nd, 2), dtype)
+                            for _ in range(nd)
+                        ),
+                        geom,
+                        dtype,
+                    )
+                )
+            )
+            pallas_chunk = _pr.make_masked_block_relax(
+                problem,
+                geom,
+                dtype,
+                ext_shape,
+                pre_keys,
+                interpret=not _pd.is_tpu_backend(),
+            )
 
     def _exchange(arr_loc):
         """(from_left, from_right) 2T-row halos from ring neighbors."""
@@ -99,7 +140,12 @@ def make_sharded_relax(
             def chunk(v_loc, t):
                 vl, vr = _exchange(v_loc)
                 v_ext = jnp.concatenate([vl, v_loc, vr], axis=0)
-                v_ext = _sweeps(v_ext, f_ext, pre, m_red, m_black, t)
+                if pallas_chunk is not None:
+                    v_ext = pallas_chunk(
+                        v_ext, f_ext, pre, m_red, m_black, t
+                    )
+                else:
+                    v_ext = _sweeps(v_ext, f_ext, pre, m_red, m_black, t)
                 return v_ext[halo : halo + x_loc]
 
             if n_chunks:
@@ -115,6 +161,9 @@ def make_sharded_relax(
             mesh=mesh,
             in_specs=(spec, spec),
             out_specs=spec,
+            # pallas_call outputs carry no varying-across-mesh annotation;
+            # the sharding of every output is fully determined by out_specs
+            check_vma=False,
         )
 
     def relax(v, f, nsweeps: int):
