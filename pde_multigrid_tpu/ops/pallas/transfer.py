@@ -183,13 +183,12 @@ def make_residual_restrict(
                 cp_v.wait()
                 r = buf_v[:]
             off = 2 * c0 - s  # static, even
-            sm_yz = _resample_yz(r, my_ref[:], mz_ref[:])  # (loc, Yc, Zc)
-            sm = (
-                0.25 * _roll(sm_yz, 0, -1)
-                + 0.5 * sm_yz
-                + 0.25 * _roll(sm_yz, 0, +1)
-            )
-            sm_p = sm[off : off + 2 * Bc].reshape(Bc, 2, Yc, Zc)[:, 0]
+            # x first, while the trailing dims are still lane-aligned:
+            # smooth along rows, then pick even rows via reshape-split
+            # (Mosaic rejects the split once lanes drop below 128)
+            sm_x = 0.25 * _roll(r, 0, -1) + 0.5 * r + 0.25 * _roll(r, 0, +1)
+            picked = sm_x[off : off + 2 * Bc].reshape(Bc, 2, Y, Z)[:, 0]
+            sm_p = _resample_yz(picked, my_ref[:], mz_ref[:])  # (Bc,Yc,Zc)
             inj_yz = _resample_yz(
                 r[off : off + 2 * Bc].reshape(Bc, 2, Y, Z)[:, 0],
                 jy_ref[:],
@@ -336,6 +335,11 @@ def planner_ok(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
     X, Y, Z = geom_f.padded_shape
     Xc, Yc, Zc = geom_c.padded_shape
     if (X, Y, Z) != (2 * Xc, 2 * Yc, 2 * Zc) or min(Xc, Yc, Zc) < 2:
+        return False
+    # Mosaic rejects the x-pick reshape-split once the lane extent drops
+    # below a full tile, so only lane-aligned fine levels qualify; the
+    # small coarse pairs stay on jnp (cheap in absolute terms)
+    if Z % 128 or Y % 8:
         return False
     plane = Y * Z * 4
     loc = min(2 * min(8, Xc) + 4, X) + 1
