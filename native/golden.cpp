@@ -24,6 +24,7 @@ namespace {
 constexpr int PROB_ODE1D = 0;
 constexpr int PROB_LYAPUNOV2D = 1;
 constexpr int PROB_POISSON = 2;
+constexpr int PROB_HJB = 3;  // Kruzkov min-time HJB (thesis §3.3), upwind
 
 struct Level {
   int nd;
@@ -48,12 +49,30 @@ struct Params {
   int problem;
   double alpha;      // lyapunov
   double a[4];       // lyapunov system matrix (row major)
+  double pin_cells;  // hjb: exact-pin ball radius in units of max(h)
 };
+
+// classical closed-form minimum time for x1' = x2, x2' = u, |u| <= 1
+inline double hjb_min_time(double x1, double x2) {
+  double half = 0.5 * x2 * std::fabs(x2);
+  if (x1 > -half)
+    return x2 + 2.0 * std::sqrt(std::max(0.5 * x2 * x2 + x1, 0.0));
+  return -x2 + 2.0 * std::sqrt(std::max(0.5 * x2 * x2 - x1, 0.0));
+}
 
 inline bool on_boundary(const Level& L, const int* idx) {
   for (int d = 0; d < L.nd; ++d)
     if (idx[d] == 0 || idx[d] == L.shape[d] - 1) return true;
   return false;
+}
+
+// hjb target pinning: points inside the exact-value ball are Dirichlet
+inline bool is_pinned(const Level& L, const Params& P, const int* idx) {
+  if (P.problem != PROB_HJB) return false;
+  double r0 = P.pin_cells * std::max(L.h[0], L.h[1]);
+  double x = L.orig[0] + idx[0] * L.h[0];
+  double y = L.orig[1] + idx[1] * L.h[1];
+  return x * x + y * y <= std::max(r0, 1e-12) * std::max(r0, 1e-12);
 }
 
 template <typename F>
@@ -95,6 +114,17 @@ struct Ops {
       double epx = std::exp(x) + 1.0;
       return (v[flat + 1] - v[flat]) / L.h[0] - v[flat] / epx;
     }
+    if (P.problem == PROB_HJB) {
+      // W + c1 (W - nb1) + max(W - m2, 0)/h2  (monotone Godunov upwind)
+      double y = coord(L, 1, idx[1]);
+      long sx = L.stride(0), sy = L.stride(1);
+      double c1 = std::fabs(y) / L.h[0];
+      double nb1 = y > 0 ? v[flat + sx] : v[flat - sx];
+      double m2 = std::min(v[flat + sy], v[flat - sy]);
+      double c2 = 1.0 / L.h[1];
+      return v[flat] + c1 * (v[flat] - nb1) +
+             c2 * std::max((double)v[flat] - m2, 0.0);
+    }
     // Lyapunov 2D: K1 u_x + K2 u_y + alpha u (forward differences)
     double x = coord(L, 0, idx[0]);
     double y = coord(L, 1, idx[1]);
@@ -123,6 +153,17 @@ struct Ops {
       return (v[flat + 1] * epx - f[flat] * L.h[0] * epx) /
              (epx + L.h[0]);
     }
+    if (P.problem == PROB_HJB) {
+      double y = coord(L, 1, idx[1]);
+      long sx = L.stride(0), sy = L.stride(1);
+      double c1 = std::fabs(y) / L.h[0];
+      double nb1 = y > 0 ? v[flat + sx] : v[flat - sx];
+      double m2 = std::min(v[flat + sy], v[flat - sy]);
+      double c2 = 1.0 / L.h[1];
+      double w_in = (f[flat] + c1 * nb1) / (1.0 + c1);
+      double w_act = (f[flat] + c1 * nb1 + c2 * m2) / (1.0 + c1 + c2);
+      return w_in <= m2 ? w_in : w_act;
+    }
     double x = coord(L, 0, idx[0]);
     double y = coord(L, 1, idx[1]);
     double k1 = P.a[0] * x + P.a[1] * y;
@@ -143,7 +184,7 @@ void relax(const Ops& ops, Level& L, int sweeps) {
         int par = 0;
         for (int d = 0; d < L.nd; ++d) par += idx[d];
         if ((par & 1) != color) return;
-        if (on_boundary(L, idx)) return;
+        if (on_boundary(L, idx) || is_pinned(L, ops.P, idx)) return;
         L.v[flat] =
             (float)ops.local_solve(L, L.v.data(), L.f.data(), idx, flat);
       });
@@ -154,7 +195,7 @@ void relax(const Ops& ops, Level& L, int sweeps) {
 void residual(const Ops& ops, const Level& L, std::vector<float>& r) {
   r.assign(L.size(), 0.0f);
   for_each(L, [&](const int* idx, long flat) {
-    if (on_boundary(L, idx)) return;
+    if (on_boundary(L, idx) || is_pinned(L, ops.P, idx)) return;
     r[flat] =
         (float)(L.f[flat] - ops.apply(L, L.v.data(), idx, flat));
   });
@@ -195,10 +236,11 @@ void restrict_fw(const Level& F, const std::vector<float>& fine,
 }
 
 // (multi)linear prolongation, interior-only write into `fine`
-void prolong_add(const Level& C, const std::vector<float>& coarse,
-                 Level& F, std::vector<float>& fine, bool add) {
+void prolong_add(const Params& P, const Level& C,
+                 const std::vector<float>& coarse, Level& F,
+                 std::vector<float>& fine, bool add) {
   for_each(F, [&](const int* fidx, long fflat) {
-    if (on_boundary(F, fidx)) return;
+    if (on_boundary(F, fidx) || is_pinned(F, P, fidx)) return;
     double acc = 0.0;
     // product of per-axis linear weights
     int base[3], odd[3];
@@ -230,11 +272,57 @@ void prolong_add(const Level& C, const std::vector<float>& coarse,
   });
 }
 
+// straight injection fine -> coarse (FAS solution restriction)
+void inject_sol(const Level& F, const std::vector<float>& fine,
+                const Level& C, std::vector<float>& out) {
+  out.assign(C.size(), 0.0f);
+  for_each(C, [&](const int* cidx, long cflat) {
+    long fflat = 0;
+    for (int d = 0; d < C.nd; ++d)
+      fflat += (long)(2 * cidx[d]) * F.stride(d);
+    out[cflat] = fine[fflat];
+  });
+}
+
 struct Hierarchy {
   std::vector<Level> levels;
   Params P;
 
+  // Full Approximation Scheme V-cycle (nonlinear multigrid; reduces to
+  // the correction scheme for linear operators) — used for PROB_HJB
+  void fas_v_cycle(int l, int nu1, int nu2) {
+    Ops ops{P};
+    Level& L = levels[l];
+    relax(ops, L, nu1);
+    if (l != (int)levels.size() - 1) {
+      Level& C = levels[l + 1];
+      std::vector<float> r, rc, v0c;
+      residual(ops, L, r);
+      restrict_fw(L, r, C, rc);
+      inject_sol(L, L.v, C, v0c);
+      C.v = v0c;
+      // f_c = N_c(v0c) + R r on the interior
+      for_each(C, [&](const int* idx, long flat) {
+        if (on_boundary(C, idx) || is_pinned(C, P, idx)) {
+          C.f[flat] = 0.0f;
+          return;
+        }
+        C.f[flat] =
+            (float)(rc[flat] + ops.apply(C, C.v.data(), idx, flat));
+      });
+      fas_v_cycle(l + 1, nu1, nu2);
+      std::vector<float> err(C.size());
+      for (long i = 0; i < C.size(); ++i) err[i] = C.v[i] - v0c[i];
+      prolong_add(P, C, err, L, L.v, /*add=*/true);
+    }
+    relax(ops, L, nu2);
+  }
+
   void v_cycle(int l, int nu1, int nu2) {
+    if (P.problem == PROB_HJB) {
+      fas_v_cycle(l, nu1, nu2);
+      return;
+    }
     Ops ops{P};
     Level& L = levels[l];
     relax(ops, L, nu1);
@@ -245,7 +333,7 @@ struct Hierarchy {
       restrict_fw(L, r, C, C.f);
       std::fill(C.v.begin(), C.v.end(), 0.0f);
       v_cycle(l + 1, nu1, nu2);
-      prolong_add(C, C.v, L, L.v, /*add=*/true);
+      prolong_add(P, C, C.v, L, L.v, /*add=*/true);
     }
     relax(ops, L, nu2);
   }
@@ -261,7 +349,7 @@ struct Hierarchy {
     });
     for (int l = nlev - 1; l >= 0; --l) {
       for (int k = 0; k < nu0; ++k) v_cycle(l, nu1, nu2);
-      if (l > 0) prolong_add(levels[l], levels[l].v, levels[l - 1],
+      if (l > 0) prolong_add(P, levels[l], levels[l].v, levels[l - 1],
                              levels[l - 1].v, /*add=*/false);
     }
   }
@@ -290,6 +378,9 @@ void init_level(Level& L, const Params& P) {
     } else if (P.problem == PROB_LYAPUNOV2D) {
       exact = 2 * x * x - 4 * x * y + 2 * y * y;
       rhs = 0.0;
+    } else if (P.problem == PROB_HJB) {
+      exact = 1.0 - std::exp(-hjb_min_time(x, y));
+      rhs = 1.0;
     } else {
       const double pi = 3.14159265358979323846;
       double u = std::sin(pi * x);
@@ -300,7 +391,9 @@ void init_level(Level& L, const Params& P) {
       rhs = -lam * u;
     }
     L.f[flat] = (float)rhs;
-    L.v[flat] = on_boundary(L, idx) ? (float)exact : 0.0f;
+    L.v[flat] =
+        (on_boundary(L, idx) || is_pinned(L, P, idx)) ? (float)exact
+                                                      : 0.0f;
   });
 }
 
@@ -314,10 +407,12 @@ extern "C" {
 double mg_solve(int problem, int nd, const int* shape,
                 const double* domain_lo, const double* domain_hi,
                 int kind, int nu0, int nu1, int nu2, int max_cycles,
-                const double* lyap_a, double lyap_alpha, float* out_v) {
+                const double* lyap_a, double lyap_alpha,
+                double hjb_pin_cells, float* out_v) {
   Params P;
   P.problem = problem;
   P.alpha = lyap_alpha;
+  P.pin_cells = hjb_pin_cells;
   for (int i = 0; i < 4; ++i) P.a[i] = lyap_a ? lyap_a[i] : 0.0;
 
   // numGrids = log2(N-1) (reference MultiGrid1D.cpp:21-22)

@@ -25,7 +25,7 @@ _LIB = os.path.join(_BUILD_DIR, "libgolden.so")
 _lock = threading.Lock()
 _lib = None
 
-PROBLEM_IDS = {"ode1d": 0, "lyapunov2d": 1, "poisson": 2}
+PROBLEM_IDS = {"ode1d": 0, "lyapunov2d": 1, "poisson": 2, "hjb2d": 3}
 
 
 def build_library(force: bool = False) -> str:
@@ -69,6 +69,7 @@ def _load():
             ctypes.c_int,  # max_cycles
             ctypes.POINTER(ctypes.c_double),  # lyap A
             ctypes.c_double,  # lyap alpha
+            ctypes.c_double,  # hjb pin-ball radius (cells)
             ctypes.POINTER(ctypes.c_float),  # out_v
         ]
         _lib = lib
@@ -86,6 +87,7 @@ def golden_solve(
     max_cycles: int = 1,
     lyap_a=((-1.0, -2.0), (0.0, -3.0)),
     lyap_alpha: float = 2.0,
+    hjb_pin_cells: float = 2.0,
 ):
     """Run the C++ golden model; returns (v, residual_l2)."""
     lib = _load()
@@ -109,6 +111,7 @@ def golden_solve(
         max_cycles,
         a_c,
         lyap_alpha,
+        hjb_pin_cells,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out, float(res)

@@ -92,3 +92,38 @@ def test_golden_oracle_accuracy():
     x = np.linspace(0, 1, n)
     exact = np.sin(np.pi * x)[:, None] * np.sin(np.pi * x)[None, :]
     assert np.max(np.abs(v - exact)[1:-1, 1:-1]) < 4e-4
+
+
+def test_golden_hjb_fas_matches_jax():
+    """The C++ golden model's FAS solve of the nonlinear HJB problem
+    converges to the same discrete fixed point as the JAX solver —
+    cross-language validation of both the upwind scheme and the FAS
+    machinery (the reference never got this problem working at all)."""
+    from pde_multigrid_tpu.utils.native import golden_solve
+
+    v_cpp, res_cpp = golden_solve(
+        "hjb2d",
+        (33, 33),
+        ((-1.0, 1.0), (-1.0, 1.0)),
+        kind="v",
+        nu1=3,
+        nu2=3,
+        max_cycles=30,
+    )
+    assert res_cpp < 1e-5
+
+    from pde_multigrid_tpu import (
+        CycleConfig,
+        HJBMinTime,
+        MultigridSolver,
+        SolverConfig,
+    )
+
+    cfg = SolverConfig(
+        cycle=CycleConfig("v", 1, 3, 3, scheme="fas"),
+        tol=1e-8,
+        max_cycles=30,
+    )
+    r = MultigridSolver(HJBMinTime(), 33, cfg).solve_to_tolerance()
+    d = np.abs(v_cpp - np.asarray(r.v))
+    assert d.max() < 1e-5
