@@ -577,7 +577,12 @@ def merge_colors(r, b, qb):
 
 
 def make_split_slab_relax(
-    problem, geom: LevelGeometry, dtype, slab_rows: int, interpret=False
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    slab_rows: int,
+    sweeps_per_call: int = 1,
+    interpret=False,
 ):
     """Double-buffered slab relaxation on COLOR-SPLIT storage (3D, wrap).
 
@@ -596,7 +601,10 @@ def make_split_slab_relax(
     y/z rolls wrap within the fully-local split arrays and land on the
     stored zero boundary planes, so wrap correctness carries over; the
     x-axis uses the same trapezoidal slab + appended-zero-row scheme as
-    make_slab_relax (T = 1, halo = 2).  Requires problem.split_update
+    make_slab_relax (T = sweeps_per_call local sweeps per HBM round
+    trip, 2T-row halos — with the arithmetic halved the kernel sits at
+    the HBM read roofline, so T > 1 trades a little redundant halo
+    compute for 1/T of the traffic).  Requires problem.split_update
     (constant-coefficient pair-sum solve).
 
     Replaces the reference's CUDARelax (MultiGrid3D.cu:609-675) for the
@@ -606,7 +614,8 @@ def make_split_slab_relax(
     X, Y, Z = geom.padded_shape
     Y2 = Y // 2
     B = slab_rows
-    halo = 2
+    T = sweeps_per_call
+    halo = 2 * T
     ext = B + 2 * halo
     assert B % 2 == 0 and X % 2 == 0 and X >= ext and X % B == 0
     loc = ext + 1  # + appended always-zero x-wrap row
@@ -630,6 +639,8 @@ def make_split_slab_relax(
         mb_ref,
         in_sem,
         out_sem,
+        *,
+        nsweeps_here,
     ):
         bufs = (rvb, bvb, rfb, bfb)
         hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
@@ -708,22 +719,31 @@ def make_split_slab_relax(
             m_b = mb_ref[:] * rv_x
             r, b = rvb[slot], bvb[slot]
             fr, fb = rfb[slot], bfb[slot]
-            # red half-sweep (reads black)
-            pairs = (
-                roll(b, 0, -1) + roll(b, 0, +1),
-                b + jnp.where(q1, roll(b, 1, +1), roll(b, 1, -1)),
-                roll(b, 2, -1) + roll(b, 2, +1),
-            )
-            upd = problem.split_update(pairs, fr, geom)
-            r = r + m_r * (upd - r)
-            # black half-sweep (reads updated red)
-            pairs = (
-                roll(r, 0, -1) + roll(r, 0, +1),
-                r + jnp.where(q1, roll(r, 1, -1), roll(r, 1, +1)),
-                roll(r, 2, -1) + roll(r, 2, +1),
-            )
-            upd = problem.split_update(pairs, fb, geom)
-            b = b + m_b * (upd - b)
+
+            def one_sweep(_, rb):
+                r, b = rb
+                # red half-sweep (reads black)
+                pairs = (
+                    roll(b, 0, -1) + roll(b, 0, +1),
+                    b + jnp.where(q1, roll(b, 1, +1), roll(b, 1, -1)),
+                    roll(b, 2, -1) + roll(b, 2, +1),
+                )
+                upd = problem.split_update(pairs, fr, geom)
+                r = r + m_r * (upd - r)
+                # black half-sweep (reads updated red)
+                pairs = (
+                    roll(r, 0, -1) + roll(r, 0, +1),
+                    r + jnp.where(q1, roll(r, 1, -1), roll(r, 1, +1)),
+                    roll(r, 2, -1) + roll(r, 2, +1),
+                )
+                upd = problem.split_update(pairs, fb, geom)
+                b = b + m_b * (upd - b)
+                return r, b
+
+            if nsweeps_here == 1:
+                r, b = one_sweep(0, (r, b))
+            else:
+                r, b = lax.fori_loop(0, nsweeps_here, one_sweep, (r, b))
             rvb[slot, :ext] = r[:ext]
             bvb[slot, :ext] = b[:ext]
             for d in out_dmas(slot, p):
@@ -737,42 +757,49 @@ def make_split_slab_relax(
             for d in out_dmas((nblk - 2) % 2, nblk - 2):
                 d.wait()
 
-    call = pl.pallas_call(
-        kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((X,) + tail, dtype),
-            jax.ShapeDtypeStruct((X,) + tail, dtype),
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((2, loc) + tail, dtype),
-            pltpu.VMEM((2, loc) + tail, dtype),
-            pltpu.VMEM((2, loc) + tail, dtype),
-            pltpu.VMEM((2, loc) + tail, dtype),
-            pltpu.VMEM((loc,) + tail, dtype),
-            pltpu.VMEM((loc,) + tail, dtype),
-            pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((2, 2)),
-        ],
-        interpret=interpret,
-    )
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps_here: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            out_shape=(
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, loc) + tail, dtype),
+                pltpu.VMEM((2, loc) + tail, dtype),
+                pltpu.VMEM((2, loc) + tail, dtype),
+                pltpu.VMEM((2, loc) + tail, dtype),
+                pltpu.VMEM((loc,) + tail, dtype),
+                pltpu.VMEM((loc,) + tail, dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
 
     def relax(v, f, nsweeps: int):
         r, b = split_colors(v, qb_np)
         fr, fb = split_colors(f, qb_np)
-        if nsweeps == 1:
-            r, b = call(r, b, fr, fb)
-        else:
-            r, b = lax.fori_loop(
-                0,
-                nsweeps,
-                lambda _, rb: call(rb[0], rb[1], fr, fb),
-                (r, b),
-            )
+        n_full, rem = divmod(nsweeps, T)
+        if n_full:
+            full = build(T)
+            if n_full == 1:
+                r, b = full(r, b, fr, fb)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[0], rb[1], fr, fb),
+                    (r, b),
+                )
+        if rem:
+            r, b = build(rem)(r, b, fr, fb)
         return merge_colors(r, b, qb_np)
 
     return relax
@@ -782,6 +809,9 @@ def make_split_slab_relax(
 
 RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
 SLAB_VMEM_BUDGET = 12 * 2**20  # against the 16MB scoped-vmem hard limit
+# split-kernel sweeps per HBM round trip: the halved arithmetic makes
+# T > 1 a traffic/compute trade worth taking once measured on hardware
+SPLIT_SWEEPS_PER_CALL = 1
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -841,7 +871,12 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                 continue
             if half_plane * 14 * (ext + 1) <= SLAB_VMEM_BUDGET:
                 return make_split_slab_relax(
-                    problem, geom, dtype, B, interpret
+                    problem,
+                    geom,
+                    dtype,
+                    B,
+                    sweeps_per_call=SPLIT_SWEEPS_PER_CALL,
+                    interpret=interpret,
                 )
     # the slab kernel DMAs HBM slices along axis 0, which requires the
     # trailing dims to sit on tile boundaries (sublane 8 / lane 128);

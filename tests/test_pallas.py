@@ -134,13 +134,15 @@ def _wrap_level(prob, n):
     return geoms, geom, aux, v, f
 
 
-@pytest.mark.parametrize("B", [4, 8])
-def test_split_slab_kernel_matches_jnp(B):
-    """Color-split storage relaxation == dense masked relaxation, bitwise
-    (same update order, same arithmetic)."""
+@pytest.mark.parametrize("B,T", [(4, 1), (8, 1), (4, 2), (4, 3)])
+def test_split_slab_kernel_matches_jnp(B, T):
+    """Color-split storage relaxation == dense masked relaxation (same
+    update order; float results differ only at rounding level)."""
     prob = Poisson(3)
     geoms, geom, aux, v, f = _wrap_level(prob, 17)
-    fn = R.make_split_slab_relax(prob, geom, F32, B, interpret=True)
+    fn = R.make_split_slab_relax(
+        prob, geom, F32, B, sweeps_per_call=T, interpret=True
+    )
     for ns in (1, 4):
         got = np.asarray(fn(v, f, ns))
         want = np.asarray(
