@@ -84,15 +84,33 @@ def _hilo_dot(a, m):
     )
 
 
-def _resample_yz(a, myT, mz):
-    """Apply pick matrices along z (right-dot, batched over rows) and y
-    (left-dot per row; avoids swapaxes, which Mosaic cannot retile when
-    the lane extent changes) of (rows, Y, Z) -> (rows, myT_rows, mz_cols).
+def _resample_yz(a, myT, mz_pad):
+    """Apply pick matrices along y (left-dot per row) then z (right-dot,
+    batched) of (rows, Y, Z) -> (rows, myT_rows, mz_pad_cols).
 
-    `myT` is the y pick matrix TRANSPOSED: out_row = myT @ row."""
-    a = _hilo_dot(a, mz)
+    `myT` is the y pick matrix TRANSPOSED (out_row = myT @ row); `mz_pad`
+    is the z pick matrix zero-padded to a full 128-lane column count —
+    Mosaic cannot DMA (or slice) VMEM buffers whose lane extent is below
+    a 128 tile, so lane-width changes are folded into the matmuls and
+    the padding lanes carry zeros end to end.  Per-row left-dots avoid
+    swapaxes (not retileable across lane-extent changes)."""
     rows = [_hilo_dot(myT, a[i]) for i in range(a.shape[0])]
-    return jnp.stack(rows, axis=0)
+    a = jnp.stack(rows, axis=0)
+    return _hilo_dot(a, mz_pad)
+
+
+def _pad_cols(m, cols: int):
+    """Zero-pad matrix columns up to `cols` (lane alignment)."""
+    out = np.zeros((m.shape[0], cols), np.float32)
+    out[:, : m.shape[1]] = m
+    return out
+
+
+def _pad_rows(m, rows: int):
+    """Zero-pad matrix rows up to `rows` (padded input lanes are inert)."""
+    out = np.zeros((rows, m.shape[1]), np.float32)
+    out[: m.shape[0], :] = m
+    return out
 
 
 def _roll(a, ax, off):
@@ -130,9 +148,9 @@ def make_residual_restrict(
     loc = ext + 1  # + appended always-zero x-wrap row
     tail = (Y, Z)
     My = jnp.asarray(_restrict_mat(Y).T.copy())  # (Yc, Y): left-dot form
-    Mz = jnp.asarray(_restrict_mat(Z))
+    Mz = jnp.asarray(_pad_cols(_restrict_mat(Z), Z))  # (Z, Z): lanes stay 128
     Jy = jnp.asarray(_inject_mat(Y).T.copy())
-    Jz = jnp.asarray(_inject_mat(Z))
+    Jz = jnp.asarray(_pad_cols(_inject_mat(Z), Z))
 
     def kernel(
         v_hbm,
@@ -154,8 +172,8 @@ def make_residual_restrict(
         iy = lax.broadcasted_iota(jnp.int32, (1,) + tail, 1)
         iz = lax.broadcasted_iota(jnp.int32, (1,) + tail, 2)
         m_tail = ((iy >= 1) & (iz >= 1)).astype(dtype)
-        icy = lax.broadcasted_iota(jnp.int32, (1, Yc, Zc), 1)
-        icz = lax.broadcasted_iota(jnp.int32, (1, Yc, Zc), 2)
+        icy = lax.broadcasted_iota(jnp.int32, (1, Yc, Z), 1)
+        icz = lax.broadcasted_iota(jnp.int32, (1, Yc, Z), 2)
         mc_tail = ((icy >= 1) & (icz >= 1)).astype(dtype)
         for p in range(nblk):
             c0 = p * Bc
@@ -188,7 +206,7 @@ def make_residual_restrict(
             # (Mosaic rejects the split once lanes drop below 128)
             sm_x = 0.25 * _roll(r, 0, -1) + 0.5 * r + 0.25 * _roll(r, 0, +1)
             picked = sm_x[off : off + 2 * Bc].reshape(Bc, 2, Y, Z)[:, 0]
-            sm_p = _resample_yz(picked, my_ref[:], mz_ref[:])  # (Bc,Yc,Zc)
+            sm_p = _resample_yz(picked, my_ref[:], mz_ref[:])  # (Bc,Yc,Z)
             inj_yz = _resample_yz(
                 r[off : off + 2 * Bc].reshape(Bc, 2, Y, Z)[:, 0],
                 jy_ref[:],
@@ -206,7 +224,7 @@ def make_residual_restrict(
 
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Xc, Yc, Zc), dtype),
+        out_shape=jax.ShapeDtypeStruct((Xc, Yc, Z), dtype),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
@@ -219,21 +237,23 @@ def make_residual_restrict(
         scratch_shapes=[
             pltpu.VMEM((loc,) + tail, dtype),
             pltpu.VMEM((loc,) + tail, dtype),
-            pltpu.VMEM((Bc, Yc, Zc), dtype),
+            pltpu.VMEM((Bc, Yc, Z), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
     )
 
+    # the kernel emits a lane-padded (Xc, Yc, Z) array (sub-128-lane VMEM
+    # buffers cannot be DMA'd); the real coarse array is lanes [:Zc]
     if with_residual:
 
         def run(v, f):
-            return call(v, f, My, Mz, Jy, Jz)
+            return call(v, f, My, Mz, Jy, Jz)[..., :Zc]
 
     else:
 
         def run(a):
-            return call(a, a, My, Mz, Jy, Jz)
+            return call(a, a, My, Mz, Jy, Jz)[..., :Zc]
 
     return run
 
@@ -265,7 +285,7 @@ def make_prolong_blend(
     Bc = Bf // 2
     locc = Bc + 1
     Uy = jnp.asarray(_prolong_mat(Yc).T.copy())  # (Y, Yc): left-dot form
-    Uz = jnp.asarray(_prolong_mat(Zc))
+    Uz = jnp.asarray(_pad_rows(_prolong_mat(Zc), Z))  # (Z, Z): padded rows
 
     def kernel(c_hbm, vb_hbm, uy_ref, uz_ref, o_hbm, buf_c, buf_v, sem):
         iy = lax.broadcasted_iota(jnp.int32, (1, Y, Z), 1)
@@ -286,7 +306,7 @@ def make_prolong_blend(
             cp_c.wait()
             cp_v.wait()
             if ncr == Bc:  # top block: row Bc is the x-wrap zero boundary
-                buf_c[Bc : Bc + 1] = jnp.zeros((1, Yc, Zc), dtype)
+                buf_c[Bc : Bc + 1] = jnp.zeros((1, Yc, Z), dtype)
             c = buf_c[0 : Bc + 1]
             cyz = _resample_yz(c, uy_ref[:], uz_ref[:])  # (Bc+1, Y, Z)
             even = cyz[:Bc]
@@ -314,7 +334,7 @@ def make_prolong_blend(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((locc, Yc, Zc), dtype),
+            pltpu.VMEM((locc, Yc, Z), dtype),
             pltpu.VMEM((Bf, Y, Z), dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -322,7 +342,10 @@ def make_prolong_blend(
     )
 
     def run(c, vb):
-        return call(c, vb, Uy, Uz)
+        # lane-pad the coarse input (sub-128-lane VMEM buffers cannot be
+        # DMA'd); the padding lanes are inert (zero rows in Uz)
+        c_pad = jnp.pad(c, ((0, 0), (0, 0), (0, Z - Zc)))
+        return call(c_pad, vb, Uy, Uz)
 
     return run
 
