@@ -175,9 +175,11 @@ def make_residual_restrict(
         icy = lax.broadcasted_iota(jnp.int32, (1, Yc, Z), 1)
         icz = lax.broadcasted_iota(jnp.int32, (1, Yc, Z), 2)
         mc_tail = ((icy >= 1) & (icz >= 1)).astype(dtype)
-        for p in range(nblk):
-            c0 = p * Bc
-            s = min(max(2 * c0 - 2, 0), X - ext)
+
+        def block(c0, s, off):
+            """One coarse-row slab: c0 (coarse row base) and s (fine DMA
+            start) may be traced; `off` (fine row of coarse row c0 within
+            the buffer) must be STATIC (value slicing)."""
             cp_v = pltpu.make_async_copy(
                 v_hbm.at[pl.ds(s, ext)], buf_v.at[pl.ds(0, ext)], sem.at[0]
             )
@@ -200,7 +202,6 @@ def make_residual_restrict(
             else:
                 cp_v.wait()
                 r = buf_v[:]
-            off = 2 * c0 - s  # static, even
             # x first, while the trailing dims are still lane-aligned:
             # smooth along rows, then pick even rows via reshape-split
             # (Mosaic rejects the split once lanes drop below 128)
@@ -221,6 +222,24 @@ def make_residual_restrict(
             buf_o[:] = out
             cp_o.start()
             cp_o.wait()
+
+        # unroll only the first and last slabs (their buffer offsets
+        # differ); the uniform middle slabs share one fori_loop body —
+        # compile-time matters with Mosaic
+        block(0, 0, 0)
+        last = nblk - 1
+        if nblk > 2:
+
+            def body(p, _):
+                c0 = p * Bc
+                block(c0, 2 * c0 - 2, 2)
+                return 0
+
+            lax.fori_loop(1, last, body, 0)
+        if nblk > 1:
+            c0 = last * Bc
+            s = min(2 * c0 - 2, X - ext)
+            block(c0, s, 2 * c0 - s)
 
     call = pl.pallas_call(
         kernel,
@@ -291,10 +310,8 @@ def make_prolong_blend(
         iy = lax.broadcasted_iota(jnp.int32, (1, Y, Z), 1)
         iz = lax.broadcasted_iota(jnp.int32, (1, Y, Z), 2)
         m_tail = ((iy >= 1) & (iz >= 1)).astype(dtype)
-        for p in range(nblk):
-            f0 = p * Bf
-            c0 = f0 // 2
-            ncr = min(Bc + 1, Xc - c0)  # coarse rows physically available
+        def block(f0, c0, ncr):
+            """`ncr` (coarse rows physically available) must be static."""
             cp_c = pltpu.make_async_copy(
                 c_hbm.at[pl.ds(c0, ncr)], buf_c.at[pl.ds(0, ncr)], sem.at[0]
             )
@@ -322,6 +339,19 @@ def make_prolong_blend(
             buf_v[0:Bf] = out
             cp_o.start()
             cp_o.wait()
+
+        # uniform slabs share one fori_loop body; only the top slab
+        # differs (its upper coarse neighbor is the x-wrap zero plane)
+        last = nblk - 1
+        if nblk > 1:
+
+            def body(p, _):
+                f0 = p * Bf
+                block(f0, f0 // 2, Bc + 1)
+                return 0
+
+            lax.fori_loop(0, last, body, 0)
+        block(last * Bf, last * Bc, min(Bc + 1, Xc - last * Bc))
 
     call = pl.pallas_call(
         kernel,
