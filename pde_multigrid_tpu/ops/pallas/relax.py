@@ -805,6 +805,250 @@ def make_split_slab_relax(
     return relax
 
 
+# ------------------------------------- 2D-blocked split-color slab kernel
+
+
+def make_split_slab_relax_2d(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    slab_rows: int,
+    block_j: int,
+    sweeps_per_call: int = 1,
+    interpret=False,
+):
+    """Split-color slab relaxation blocked along BOTH x and y (3D, wrap).
+
+    make_split_slab_relax keeps whole (Y/2, Z) half-planes in VMEM, which
+    busts the scoped-VMEM limit once the plane reaches ~256 KB (257^3 and
+    up — the reference's CUDA headline size, CUDA Poisson 3D/main.cu:18).
+    Here each DMA round trip moves an (ext_x, ext_j, Z) sub-block: x uses
+    the same trapezoidal scheme (2T-row halo, traced fori_loop walk), y
+    adds a second blocked axis with an 8-row halo — 8 because Mosaic DMA
+    offsets on the sublane dim must be 8-aligned, which also covers the
+    2T rows trapezoidal correctness needs for T <= 4.  The y-block walk
+    is a static Python loop (few blocks; per-block masks are recomputed,
+    cheap at once per column), the x walk stays double-buffered.
+
+    Wrap correctness: both blocked axes append one always-zero local row;
+    in-buffer rolls wrap onto it, reproducing the stored-zero-plane reads
+    of the full-array kernel at the true upper boundaries.  At interior
+    block edges the wrapped reads land in the discarded halo-corruption
+    region.
+    """
+    assert geom.wrap and geom.ndim == 3
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    Bx = slab_rows
+    Bj = block_j
+    T = sweeps_per_call
+    assert 1 <= T <= 4, "j-halo of 8 covers at most 4 trapezoidal sweeps"
+    halo_x = 2 * T
+    HJ = 8
+    ext_x = Bx + 2 * halo_x
+    assert Bx % 2 == 0 and X % 2 == 0 and X >= ext_x and X % Bx == 0
+    assert Bj % 8 == 0 and Y2 % Bj == 0 and Y2 >= Bj + 2 * HJ
+    ext_j = Bj + 2 * HJ
+    loc_x = ext_x + 1  # + appended always-zero x-wrap row
+    loc_j = ext_j + 1  # + appended always-zero j-wrap row
+    nblk_x = X // Bx
+    nblk_j = Y2 // Bj
+    max_sx = X - ext_x
+    assert max_sx % 2 == 0  # even starts: checkerboard parity invariant
+    qb_np = _split_qmask(X, Z)
+
+    def kernel(
+        rv_hbm,
+        bv_hbm,
+        rf_hbm,
+        bf_hbm,
+        ro_hbm,
+        bo_hbm,
+        rvb,
+        bvb,
+        rfb,
+        bfb,
+        mr_ref,
+        mb_ref,
+        in_sem,
+        out_sem,
+        *,
+        nsweeps_here,
+    ):
+        bufs = (rvb, bvb, rfb, bfb)
+        hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+        lshape = (loc_x, loc_j, Z)
+
+        def start_of(p):
+            return jnp.clip(p * Bx - halo_x, 0, max_sx)
+
+        # always-zero wrap rows, set once (DMAs never overwrite them)
+        for b in bufs:
+            for slot in (0, 1):
+                b[slot, ext_x:, :] = jnp.zeros((1, loc_j, Z), dtype)
+                b[slot, :, ext_j:] = jnp.zeros((loc_x, 1, Z), dtype)
+
+        ix = lax.broadcasted_iota(jnp.int32, (loc_x, 1, Z), 0)
+        iz = lax.broadcasted_iota(jnp.int32, (loc_x, 1, Z), 2)
+        q1 = ((ix + iz) % 2) == 1
+        jj = lax.broadcasted_iota(jnp.int32, (1, loc_j, 1), 1)
+        ok_z = iz >= 1
+
+        def roll(a, ax, off):
+            return jnp.roll(a, -off, axis=ax)
+
+        for qj in range(nblk_j):
+            sj = min(max(qj * Bj - HJ, 0), Y2 - ext_j)  # static, 8-aligned
+            oj = qj * Bj - sj  # static owned-row offset in the buffer
+            jglob = jj + sj
+            # (jj < ext_j) keeps the appended zero row truly zero through
+            # the sweeps: the top block's edge rows read it via the j-wrap
+            # as the y = Y boundary plane (non-top blocks' edge reads land
+            # in discarded halo either way)
+            ok_j = jj < ext_j
+            mr_ref[:] = jnp.broadcast_to(
+                ((jglob >= 1) | q1) & ok_j & ok_z, lshape
+            ).astype(dtype)
+            mb_ref[:] = jnp.broadcast_to(
+                ((jglob >= 1) | ~q1) & ok_j & ok_z, lshape
+            ).astype(dtype)
+
+            def in_dmas(slot, p):
+                s = start_of(p)
+                return [
+                    pltpu.make_async_copy(
+                        h.at[pl.ds(s, ext_x), pl.ds(sj, ext_j)],
+                        b.at[slot, pl.ds(0, ext_x), pl.ds(0, ext_j)],
+                        in_sem.at[slot, k],
+                    )
+                    for k, (h, b) in enumerate(zip(hbms, bufs))
+                ]
+
+            def out_dmas(slot, p):
+                s = start_of(p)
+                return [
+                    pltpu.make_async_copy(
+                        b.at[slot, pl.ds(p * Bx - s, Bx), pl.ds(oj, Bj)],
+                        h.at[pl.ds(p * Bx, Bx), pl.ds(qj * Bj, Bj)],
+                        out_sem.at[slot, k],
+                    )
+                    for k, (h, b) in enumerate(
+                        ((ro_hbm, rvb), (bo_hbm, bvb))
+                    )
+                ]
+
+            for d in in_dmas(0, 0):
+                d.start()
+
+            def body(p, _):
+                slot = p % 2
+                nxt = (p + 1) % 2
+
+                @pl.when(p + 1 < nblk_x)
+                def _():
+                    @pl.when(p >= 1)
+                    def _():
+                        for d in out_dmas(nxt, p - 1):
+                            d.wait()
+
+                    for d in in_dmas(nxt, p + 1):
+                        d.start()
+
+                for d in in_dmas(slot, p):
+                    d.wait()
+                s = start_of(p)
+                g = s + lax.broadcasted_iota(jnp.int32, (loc_x, 1, 1), 0)
+                rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
+                m_r = mr_ref[:] * rv_x
+                m_b = mb_ref[:] * rv_x
+                r, b = rvb[slot], bvb[slot]
+                fr, fb = rfb[slot], bfb[slot]
+
+                def one_sweep(_, rb):
+                    r, b = rb
+                    pairs = (
+                        roll(b, 0, -1) + roll(b, 0, +1),
+                        b + jnp.where(q1, roll(b, 1, +1), roll(b, 1, -1)),
+                        roll(b, 2, -1) + roll(b, 2, +1),
+                    )
+                    upd = problem.split_update(pairs, fr, geom)
+                    r = r + m_r * (upd - r)
+                    pairs = (
+                        roll(r, 0, -1) + roll(r, 0, +1),
+                        r + jnp.where(q1, roll(r, 1, -1), roll(r, 1, +1)),
+                        roll(r, 2, -1) + roll(r, 2, +1),
+                    )
+                    upd = problem.split_update(pairs, fb, geom)
+                    b = b + m_b * (upd - b)
+                    return r, b
+
+                if nsweeps_here == 1:
+                    r, b = one_sweep(0, (r, b))
+                else:
+                    r, b = lax.fori_loop(0, nsweeps_here, one_sweep, (r, b))
+                rvb[slot, :ext_x, :ext_j] = r[:ext_x, :ext_j]
+                bvb[slot, :ext_x, :ext_j] = b[:ext_x, :ext_j]
+                for d in out_dmas(slot, p):
+                    d.start()
+                return 0
+
+            lax.fori_loop(0, nblk_x, body, 0)
+            for d in out_dmas((nblk_x - 1) % 2, nblk_x - 1):
+                d.wait()
+            if nblk_x > 1:
+                for d in out_dmas((nblk_x - 2) % 2, nblk_x - 2):
+                    d.wait()
+
+    tail = (Y2, Z)
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps_here: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            out_shape=(
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((loc_x, loc_j, Z), dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
+
+    def relax(v, f, nsweeps: int):
+        r, b = split_colors(v, qb_np)
+        fr, fb = split_colors(f, qb_np)
+        n_full, rem = divmod(nsweeps, T)
+        if n_full:
+            full = build(T)
+            if n_full == 1:
+                r, b = full(r, b, fr, fb)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[0], rb[1], fr, fb),
+                    (r, b),
+                )
+        if rem:
+            r, b = build(rem)(r, b, fr, fb)
+        return merge_colors(r, b, qb_np)
+
+    return relax
+
+
 # ------------------------------------------------------------------ planning
 
 RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
@@ -879,6 +1123,37 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                     sweeps_per_call=SPLIT_SWEEPS_PER_CALL,
                     interpret=interpret,
                 )
+    # 2D-blocked split slab: when whole half-planes no longer fit (257^3
+    # and up), block y as well.  Cost model mirrors the full-plane one:
+    # 8 double-buffered sub-blocks + 2 masks + ~4 roll temps, each
+    # ~(loc_x, loc_j, Z).  Prefer larger Bx (x halo amortization), then
+    # larger Bj (j halo is a fixed 8 rows per side).
+    if (
+        geom.wrap
+        and len(shape) == 3
+        and hasattr(problem, "split_update")
+        and shape[1] % 16 == 0
+        and shape[2] % 128 == 0
+    ):
+        Y2 = shape[1] // 2
+        for B in (8, 4):
+            ext = B + 4
+            if shape[0] % B or shape[0] < ext or (shape[0] - ext) % 2:
+                continue
+            for Bj in (64, 32, 16, 8):
+                if Y2 % Bj or Y2 < Bj + 16:
+                    continue
+                unit = tile_padded_bytes((ext + 1, Bj + 17, shape[2]))
+                if unit * 14 <= SLAB_VMEM_BUDGET:
+                    return make_split_slab_relax_2d(
+                        problem,
+                        geom,
+                        dtype,
+                        B,
+                        Bj,
+                        sweeps_per_call=SPLIT_SWEEPS_PER_CALL,
+                        interpret=interpret,
+                    )
     # the slab kernel DMAs HBM slices along axis 0, which requires the
     # trailing dims to sit on tile boundaries (sublane 8 / lane 128);
     # wrap-mode 2^k extents satisfy this automatically once big enough

@@ -117,6 +117,34 @@ def _roll(a, ax, off):
     return jnp.roll(a, -off, axis=ax)
 
 
+def _auto_restrict_rows(Xc: int, Y: int, Z: int) -> int:
+    """Largest coarse block rows whose Mosaic stack fits scoped VMEM.
+
+    Stack model (fine-plane units of Y*Z*4 bytes): two double-buffered
+    slabs of loc = 2*Bc + 5 rows plus resample temps ~0.75*loc — about
+    2.75*loc planes.  Calibrated against the measured 16.15 MB stack of
+    the prolong kernel at a 256 KB plane (Mosaic OOM report)."""
+    plane = Y * Z * 4
+    for bc in (8, 4, 2):
+        if bc > Xc:
+            continue
+        loc = min(2 * bc + 4, 2 * Xc) + 1
+        if plane * 2.75 * loc <= TRANSFER_VMEM_BUDGET or bc == 2:
+            return min(bc, Xc)
+    return min(2, Xc)
+
+
+def _auto_prolong_rows(X: int, Y: int, Z: int) -> int:
+    """Largest fine block rows for the prolong kernel under the same
+    VMEM model: ~(3.75*Bf + 5) fine planes (buf_v + up + stack temps +
+    coarse-side buffers), measured 16.15 MB at Bf=16, 256 KB planes."""
+    plane = Y * Z * 4
+    for bf in (16, 8, 4, 2):
+        if plane * (3.75 * bf + 5) <= TRANSFER_VMEM_BUDGET or bf == 2:
+            return min(bf, X)
+    return min(2, X)
+
+
 # ------------------------------------------------- residual + restriction
 
 
@@ -127,6 +155,7 @@ def make_residual_restrict(
     dtype,
     interpret=False,
     with_residual=True,
+    block_rows=None,
 ):
     """Fused kernel: cf = Restrict(m_int * (f - L v)) when with_residual,
     else cf = Restrict(a).
@@ -141,7 +170,7 @@ def make_residual_restrict(
     assert (X, Y, Z) == (2 * Xc, 2 * Yc, 2 * Zc)
     if with_residual and not hasattr(problem, "kernel_operator"):
         return None
-    Bc = min(8, Xc)
+    Bc = block_rows if block_rows else _auto_restrict_rows(Xc, Y, Z)
     nblk = Xc // Bc
     assert nblk * Bc == Xc
     ext = min(2 * Bc + 4, X)
@@ -286,6 +315,7 @@ def make_prolong_blend(
     dtype,
     mode: str,
     interpret=False,
+    block_rows=None,
 ):
     """Fused kernel: trilinear prolongation of the coarse array blended
     into the fine array on the interior.
@@ -298,7 +328,7 @@ def make_prolong_blend(
     assert geom_f.wrap and geom_c.wrap and geom_f.ndim == 3
     assert (X, Y, Z) == (2 * Xc, 2 * Yc, 2 * Zc)
     assert mode in ("add", "replace")
-    Bf = min(16, X)
+    Bf = block_rows if block_rows else _auto_prolong_rows(X, Y, Z)
     nblk = X // Bf
     assert nblk * Bf == X and Bf % 2 == 0
     Bc = Bf // 2
@@ -394,6 +424,11 @@ def planner_ok(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
     # small coarse pairs stay on jnp (cheap in absolute terms)
     if Z % 128 or Y % 8:
         return False
+    # block rows adapt to the plane size (_auto_*_rows); reject only when
+    # even the smallest blocks bust the stack model
     plane = Y * Z * 4
-    loc = min(2 * min(8, Xc) + 4, X) + 1
-    return plane * (2 * loc + 6) <= TRANSFER_VMEM_BUDGET
+    bc = _auto_restrict_rows(Xc, Y, Z)
+    bf = _auto_prolong_rows(X, Y, Z)
+    ok_r = plane * 2.75 * (min(2 * bc + 4, 2 * Xc) + 1) <= 14 * 2**20
+    ok_p = plane * (3.75 * bf + 5) <= 14 * 2**20
+    return bool(ok_r and ok_p and Xc % bc == 0 and X % bf == 0)

@@ -158,6 +158,30 @@ def test_split_slab_kernel_matches_jnp(B, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("B,Bj,T", [(4, 8, 1), (8, 8, 2)])
+def test_split_slab_2d_kernel_matches_jnp(B, Bj, T):
+    """x-and-y-blocked split storage relaxation == dense masked relaxation
+    (the 257^3-class tier; exercises j-halo clamping at both y edges)."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, 65)
+    fn = R.make_split_slab_relax_2d(
+        prob, geom, F32, B, Bj, sweeps_per_call=T, interpret=True
+    )
+    for ns in (1, 3):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_split_colors_roundtrip():
     from pde_multigrid_tpu.ops.pallas.relax import (
         _split_qmask,
@@ -175,7 +199,10 @@ def test_split_colors_roundtrip():
 # ------------------------------------------------ fused transfer kernels
 
 
-def test_fused_residual_restrict_matches_jnp():
+@pytest.mark.parametrize("block_rows", [None, 4, 2])
+def test_fused_residual_restrict_matches_jnp(block_rows):
+    """block_rows=4/2 are the auto-shrunk configs the 257^3-class levels
+    select to fit scoped VMEM (_auto_restrict_rows)."""
     from pde_multigrid_tpu.cycles import JnpKernels
     from pde_multigrid_tpu.grid import base_aux
     from pde_multigrid_tpu.ops.pallas import transfer as T
@@ -185,7 +212,9 @@ def test_fused_residual_restrict_matches_jnp():
     gc = geoms[1]
     auxc = base_aux(gc)
     jk = JnpKernels(prob, geoms)
-    rr = T.make_residual_restrict(prob, gf, gc, F32, interpret=True)
+    rr = T.make_residual_restrict(
+        prob, gf, gc, F32, interpret=True, block_rows=block_rows
+    )
     got = np.asarray(rr(v, f))
     r = jk.residual(0, v, f, auxf)
     want = np.asarray(jk.restrict(0, r, auxc["m_int"], auxc["m_log"]))
@@ -203,7 +232,8 @@ def test_fused_residual_restrict_matches_jnp():
 
 
 @pytest.mark.parametrize("mode", ["add", "replace"])
-def test_fused_prolong_blend_matches_jnp(mode):
+@pytest.mark.parametrize("block_rows", [None, 8, 4])
+def test_fused_prolong_blend_matches_jnp(mode, block_rows):
     from pde_multigrid_tpu.cycles import JnpKernels
     from pde_multigrid_tpu.ops.pallas import transfer as T
 
@@ -217,7 +247,9 @@ def test_fused_prolong_blend_matches_jnp(mode):
         cv[tuple(sl)] = 0.0
     cv = jnp.asarray(cv)
     jk = JnpKernels(prob, geoms)
-    pb = T.make_prolong_blend(gc, gf, F32, mode, interpret=True)
+    pb = T.make_prolong_blend(
+        gc, gf, F32, mode, interpret=True, block_rows=block_rows
+    )
     got = np.asarray(pb(cv, v))
     up = jk.prolong(0, cv)
     if mode == "add":
