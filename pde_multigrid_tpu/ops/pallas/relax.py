@@ -496,6 +496,111 @@ def make_merged_resident_relax(
     return relax
 
 
+def make_split_merged_relax(problem, geom: LevelGeometry, dtype, interpret=False):
+    """Color-split resident kernel in merged layout (wrap-mode 3D, Z < 128).
+
+    Combines the two coarse-level tricks: color-split storage (half the
+    arithmetic of the dense masked update — every gathered neighbor is
+    used) and the merged (X, Y2*Z/128, 128) view (zero tile waste for
+    sub-lane Z).  Unlike the slab split kernels no appended zero rows are
+    needed: with the FULL arrays resident, every wrapping roll lands on a
+    stored zero boundary plane —
+
+      * x-roll wraps x=X-1 -> x=0, the dense x=0 boundary plane;
+      * z-step +1 at z=Z-1 carries to (j+1, 0), the dense z=0 plane;
+      * j-step +Z at j=Y2-1 wraps to j=0 which, at the (x,z) parities
+        that take the +j branch (q=1), holds dense y=0 — the boundary.
+
+    Replaces make_merged_resident_relax where problem.split_update exists
+    (constant-coefficient); reference op: the colored update loops of
+    MultiGrid3D.cpp:515-566 / MultiGrid3D.cu:556-654."""
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    assert geom.wrap and Z < 128 and (Y2 * Z) % 128 == 0
+    M2 = (Y2 * Z) // 128
+    zbits = Z.bit_length() - 1
+    qb_np = _split_qmask(X, Z)
+
+    def kernel(r_ref, b_ref, fr_ref, fb_ref, ro_ref, bo_ref, *, nsweeps):
+        shape = (X, M2, 128)
+        lane = lax.broadcasted_iota(jnp.int32, shape, 2)
+        flat = lax.broadcasted_iota(jnp.int32, shape, 1) * 128 + lane
+        gx = lax.broadcasted_iota(jnp.int32, shape, 0)
+        gj = flat >> zbits
+        gz = flat & (Z - 1)
+        q1 = ((gx + gz) % 2) == 1
+        ok = (gx >= 1) & (gz >= 1)
+        m_r = (((gj >= 1) | q1) & ok).astype(dtype)
+        m_b = (((gj >= 1) | ~q1) & ok).astype(dtype)
+        fr, fb = fr_ref[:], fb_ref[:]
+
+        def fshift(a, s: int):
+            b = jnp.roll(a, -s, axis=2)
+            # M2 == 1: the carry roll over merged rows is the identity
+            # (and lowers to a zero-size slice Mosaic rejects)
+            def carry(x, d):
+                return x if M2 == 1 else jnp.roll(x, d, axis=1)
+
+            if s > 0:
+                return jnp.where(lane < 128 - s, b, carry(b, -1))
+            return jnp.where(lane >= -s, b, carry(b, 1))
+
+        def one(_, rb):
+            r, b = rb
+            pairs = (
+                jnp.roll(b, 1, axis=0) + jnp.roll(b, -1, axis=0),
+                b + jnp.where(q1, fshift(b, Z), fshift(b, -Z)),
+                fshift(b, -1) + fshift(b, 1),
+            )
+            r = r + m_r * (problem.split_update(pairs, fr, geom) - r)
+            pairs = (
+                jnp.roll(r, 1, axis=0) + jnp.roll(r, -1, axis=0),
+                r + jnp.where(q1, fshift(r, -Z), fshift(r, Z)),
+                fshift(r, -1) + fshift(r, 1),
+            )
+            b = b + m_b * (problem.split_update(pairs, fb, geom) - b)
+            return r, b
+
+        r0, b0 = r_ref[:], b_ref[:]
+        ro_ref[:], bo_ref[:] = (
+            one(0, (r0, b0))
+            if nsweeps == 1
+            else lax.fori_loop(0, nsweeps, one, (r0, b0))
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=(
+                jax.ShapeDtypeStruct((X, M2, 128), dtype),
+                jax.ShapeDtypeStruct((X, M2, 128), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )
+
+    def relax(v, f, nsweeps: int):
+        r, b = split_colors(v, qb_np)
+        fr, fb = split_colors(f, qb_np)
+        call = build(nsweeps)
+        ro, bo = call(
+            r.reshape(X, M2, 128),
+            b.reshape(X, M2, 128),
+            fr.reshape(X, M2, 128),
+            fb.reshape(X, M2, 128),
+        )
+        return merge_colors(
+            ro.reshape(X, Y2, Z), bo.reshape(X, Y2, Z), qb_np
+        )
+
+    return relax
+
+
 # ---------------------------------------------- masked block (shard-local)
 
 
@@ -1078,6 +1183,15 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     ):
         merged_bytes = shape[0] * shape[1] * shape[2] * 4
         if merged_bytes * 7 <= RESIDENT_VMEM_BUDGET:
+            # color-split variant: half the arithmetic per sweep
+            if (
+                hasattr(problem, "split_update")
+                and shape[1] % 2 == 0
+                and (shape[1] // 2 * shape[2]) % 128 == 0
+            ):
+                return make_split_merged_relax(
+                    problem, geom, dtype, interpret
+                )
             return make_merged_resident_relax(
                 problem, geom, dtype, interpret
             )

@@ -158,6 +158,29 @@ def test_split_slab_kernel_matches_jnp(B, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n", [17, 33])
+def test_split_merged_kernel_matches_jnp(n):
+    """Color-split merged-layout resident kernel (the coarse-level tier)
+    == dense masked relaxation; exercises every wrap case (x-roll,
+    z-carry, j-wrap onto dense y=0)."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, n)
+    fn = R.make_split_merged_relax(prob, geom, F32, interpret=True)
+    for ns in (1, 3):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize("B,Bj,T", [(4, 8, 1), (8, 8, 2)])
 def test_split_slab_2d_kernel_matches_jnp(B, Bj, T):
     """x-and-y-blocked split storage relaxation == dense masked relaxation
