@@ -31,6 +31,10 @@ class PallasKernels(JnpKernels):
         self._rr = [None] * n
         self._restrict = [None] * n
         self._pb = [{} for _ in range(n)]
+        self._res = [
+            transfer_mod.make_residual(problem, g, dtype, interpret=interpret)
+            for g in geoms
+        ]
         for l in range(n - 1):
             gf, gc = geoms[l], geoms[l + 1]
             if not transfer_mod.planner_ok(gf, gc):
@@ -52,6 +56,12 @@ class PallasKernels(JnpKernels):
         if fn is None:
             return super().relax(l, v, f, aux, nsweeps)
         return fn(v, f, nsweeps)
+
+    def residual(self, l, v, f, aux):
+        fn = self._res[l]
+        if fn is None:
+            return super().residual(l, v, f, aux)
+        return fn(v, v, v, f)
 
     # -- fused transfer hooks (cycles.CycleProgram consults these) ---------
 

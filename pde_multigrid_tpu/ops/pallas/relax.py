@@ -33,6 +33,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -681,6 +682,139 @@ def merge_colors(r, b, qb):
     return jnp.stack([v0, v1], axis=2).reshape(X, 2 * Y2, Z)
 
 
+# ------------------------------------- pallas color conversions (MXU picks)
+#
+# XLA's generated code for split_colors/merge_colors (strided y gathers +
+# selects) runs 20-60x below the HBM roofline on this backend — measured
+# ~5 ms per conversion at 256^3 vs a ~163 us traffic floor, which made the
+# conversions (2 per relax leg) the dominant cost of the 257^3 FMG step.
+# These kernels stream x-slabs through VMEM with an automatically
+# pipelined BlockSpec grid and do the even/odd y extraction as MXU dots
+# with 0/1 pick matrices.  EXACT: each output is 1.0 * v[y*] for a single
+# y*, and the data side is split into THREE bf16 terms (8 mantissa bits
+# each covers f32's 24; the MXU casts operands to bf16, so a two-term
+# hi/lo split would silently drop the low 8 bits — measured as a 48x
+# higher residual floor at 257^3).  Each partial product is a single
+# 1.0 * term, f32-accumulated, so reconstruction is bitwise.
+
+
+def _exact_pick_dot(p, a):
+    """p @ a for a 0/1 single-entry-per-row pick matrix p, bitwise-exact
+    on the bf16 MXU via a three-term bf16 decomposition of `a`."""
+    h1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = a - h1
+    h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    h3 = r1 - h2
+    return (
+        jnp.dot(p, h1, preferred_element_type=jnp.float32)
+        + jnp.dot(p, h2, preferred_element_type=jnp.float32)
+        + jnp.dot(p, h3, preferred_element_type=jnp.float32)
+    )
+
+
+def _conv_rows(X: int, Y: int, Z: int) -> int:
+    """x-slab rows for the conversion kernels under the VMEM model
+    ~7 * B * plane (double-buffered in + out blocks + dot temps)."""
+    plane = Y * Z * 4
+    for B in (16, 8, 4, 2):
+        if X % B == 0 and plane * 7 * B <= SLAB_VMEM_BUDGET:
+            return B
+    return 1
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_split(X: int, Y: int, Z: int, dtype, interpret=False):
+    """split(v) -> (r, b), the pallas tier of split_colors (3D wrap,
+    lane-aligned levels: Z % 128 == 0, Y2 % 8 == 0)."""
+    Y2 = Y // 2
+    assert Z % 128 == 0 and Y2 % 8 == 0
+    B = _conv_rows(X, Y, Z)
+    # stacked transposed picks: rows [0, Y2) extract even y, [Y2, 2*Y2) odd
+    pt = np.zeros((2 * Y2, Y), np.float32)
+    pt[np.arange(Y2), 2 * np.arange(Y2)] = 1.0
+    pt[Y2 + np.arange(Y2), 2 * np.arange(Y2) + 1] = 1.0
+    pt = jnp.asarray(pt)
+
+    def kernel(v_ref, pt_ref, r_ref, b_ref):
+        x0 = pl.program_id(0) * B
+        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
+        for i in range(B):
+            s = _exact_pick_dot(pt_ref[:], v_ref[i])
+            q1 = ((x0 + i + iz) % 2) == 1
+            r_ref[i] = jnp.where(q1, s[Y2:], s[:Y2])
+            b_ref[i] = jnp.where(q1, s[:Y2], s[Y2:])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // B,),
+        in_specs=[
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * Y2, Y), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, Y2, Z), dtype),
+            jax.ShapeDtypeStruct((X, Y2, Z), dtype),
+        ),
+        interpret=interpret,
+    ), pt
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_merge(X: int, Y: int, Z: int, dtype, interpret=False):
+    """merge(r, b) -> v, the pallas tier of merge_colors."""
+    Y2 = Y // 2
+    assert Z % 128 == 0 and Y2 % 8 == 0
+    B = _conv_rows(X, Y, Z)
+    # interleave picks: v[2j] = v0[j], v[2j+1] = v1[j] with
+    # s = [v0; v1] stacked on the sublane dim
+    u = np.zeros((Y, 2 * Y2), np.float32)
+    u[2 * np.arange(Y2), np.arange(Y2)] = 1.0
+    u[2 * np.arange(Y2) + 1, Y2 + np.arange(Y2)] = 1.0
+    u = jnp.asarray(u)
+
+    def kernel(r_ref, b_ref, u_ref, v_ref):
+        x0 = pl.program_id(0) * B
+        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
+        for i in range(B):
+            r, b = r_ref[i], b_ref[i]
+            q1 = ((x0 + i + iz) % 2) == 1
+            s = jnp.concatenate(
+                [jnp.where(q1, b, r), jnp.where(q1, r, b)], axis=0
+            )
+            v_ref[i] = _exact_pick_dot(u_ref[:], s)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // B,),
+        in_specs=[
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Y, 2 * Y2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        interpret=interpret,
+    ), u
+
+
+def make_color_converters(geom: LevelGeometry, dtype, interpret=False):
+    """(split, merge) pair for one level: pallas tier when lane-aligned,
+    XLA fallback otherwise."""
+    X, Y, Z = geom.padded_shape
+    if Z % 128 == 0 and (Y // 2) % 8 == 0:
+        sc, pt = _pallas_split(X, Y, Z, dtype, interpret)
+        mc, u = _pallas_merge(X, Y, Z, dtype, interpret)
+        return (lambda v: sc(v, pt)), (lambda r, b: mc(r, b, u))
+    qb = _split_qmask(X, Z)
+    return (lambda v: split_colors(v, qb)), (
+        lambda r, b: merge_colors(r, b, qb)
+    )
+
+
 def make_split_slab_relax(
     problem,
     geom: LevelGeometry,
@@ -727,7 +861,6 @@ def make_split_slab_relax(
     nblk = X // B
     max_start = X - ext
     tail = (Y2, Z)
-    qb_np = _split_qmask(X, Z)
 
     def kernel(
         rv_hbm,
@@ -888,9 +1021,11 @@ def make_split_slab_relax(
             interpret=interpret,
         )
 
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
     def relax(v, f, nsweeps: int):
-        r, b = split_colors(v, qb_np)
-        fr, fb = split_colors(f, qb_np)
+        r, b = csplit(v)
+        fr, fb = csplit(f)
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T)
@@ -905,7 +1040,7 @@ def make_split_slab_relax(
                 )
         if rem:
             r, b = build(rem)(r, b, fr, fb)
-        return merge_colors(r, b, qb_np)
+        return cmerge(r, b)
 
     return relax
 
@@ -960,7 +1095,6 @@ def make_split_slab_relax_2d(
     nblk_j = Y2 // Bj
     max_sx = X - ext_x
     assert max_sx % 2 == 0  # even starts: checkerboard parity invariant
-    qb_np = _split_qmask(X, Z)
 
     def kernel(
         rv_hbm,
@@ -1132,9 +1266,11 @@ def make_split_slab_relax_2d(
             interpret=interpret,
         )
 
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
     def relax(v, f, nsweeps: int):
-        r, b = split_colors(v, qb_np)
-        fr, fb = split_colors(f, qb_np)
+        r, b = csplit(v)
+        fr, fb = csplit(f)
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T)
@@ -1149,7 +1285,7 @@ def make_split_slab_relax_2d(
                 )
         if rem:
             r, b = build(rem)(r, b, fr, fb)
-        return merge_colors(r, b, qb_np)
+        return cmerge(r, b)
 
     return relax
 

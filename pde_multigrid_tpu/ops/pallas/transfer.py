@@ -410,6 +410,60 @@ def make_prolong_blend(
     return run
 
 
+def make_residual(problem, geom: LevelGeometry, dtype, interpret=False):
+    """Fused residual kernel: r = m_int * (f - L v), dense output.
+
+    XLA's stencil codegen costs ~4 ms per residual instance at 129^3 on
+    this backend (and worse at 257^3); this kernel streams x-slabs at the
+    HBM roofline.  Replaces CalculateResidual (MultiGrid3D.cpp:678-730)
+    standalone uses — cycles that can fuse residual+restrict use
+    make_residual_restrict instead.  Wrap x-neighbors come from adjacent
+    blocks fetched via modulo BlockSpec index maps (the wrap x=X-1 ->
+    x=0 read lands on the stored zero boundary plane)."""
+    X, Y, Z = geom.padded_shape
+    if not (geom.wrap and geom.ndim == 3):
+        return None
+    if Z % 128 or Y % 8 or not hasattr(problem, "kernel_operator"):
+        return None
+    plane = Y * Z * 4
+    B = next((b for b in (8, 4, 2) if plane * b * 14 <= TRANSFER_VMEM_BUDGET and X % b == 0), None)
+    if B is None or X // B < 2:
+        return None
+    nblk = X // B
+
+    def kernel(vm_ref, v_ref, vp_ref, f_ref, o_ref):
+        ext = jnp.concatenate(
+            [vm_ref[B - 1 : B], v_ref[:], vp_ref[0:1]], axis=0
+        )
+
+        def roll(a, ax, off):
+            # axis-0 wrap corruption at ext edges is discarded below;
+            # y/z rolls wrap onto the stored zero boundary planes
+            return jnp.roll(a, -off, axis=ax)
+
+        Lv = problem.kernel_operator(ext, geom, roll)[1 : B + 1]
+        x0 = pl.program_id(0) * B
+        gx = x0 + lax.broadcasted_iota(jnp.int32, (B, Y, Z), 0)
+        gy = lax.broadcasted_iota(jnp.int32, (B, Y, Z), 1)
+        gz = lax.broadcasted_iota(jnp.int32, (B, Y, Z), 2)
+        m = ((gx >= 1) & (gy >= 1) & (gz >= 1)).astype(dtype)
+        o_ref[:] = m * (f_ref[:] - Lv)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, Y, Z), lambda i: ((i - 1) % nblk, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: ((i + 1) % nblk, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        interpret=interpret,
+    )
+
+
 def planner_ok(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
     """Transfer kernels cover wrap-mode 3D level pairs (the flagship
     path); everything else stays on the jnp tier."""

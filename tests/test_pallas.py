@@ -205,6 +205,26 @@ def test_split_slab_2d_kernel_matches_jnp(B, Bj, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_pallas_color_converters_bitwise():
+    """MXU pick-matrix split/merge == XLA split_colors/merge_colors,
+    bit for bit (0/1 picks + hi/lo bf16 reconstruction are exact).
+    129^3: lane-aligned, so the real pallas tier runs (not the XLA
+    fallback taken below 128 lanes)."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, 129)
+    X, Y, Z = geom.padded_shape
+    assert Z % 128 == 0  # must exercise the pallas tier
+    qb = R._split_qmask(X, Z)
+    csplit, cmerge = R.make_color_converters(geom, F32, interpret=True)
+    r0, b0 = R.split_colors(v, qb)
+    r1, b1 = csplit(v)
+    assert np.array_equal(np.asarray(r0), np.asarray(r1))
+    assert np.array_equal(np.asarray(b0), np.asarray(b1))
+    v0 = R.merge_colors(r0, b0, qb)
+    v1 = cmerge(r1, b1)
+    assert np.array_equal(np.asarray(v0), np.asarray(v1))
+
+
 def test_split_colors_roundtrip():
     from pde_multigrid_tpu.ops.pallas.relax import (
         _split_qmask,
@@ -252,6 +272,22 @@ def test_fused_residual_restrict_matches_jnp(block_rows):
     got = np.asarray(ro(f))
     want = np.asarray(jk.restrict(0, f, auxc["m_int"], auxc["m_log"]))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_residual_matches_jnp():
+    """Standalone fused residual kernel (modulo-indexed neighbor blocks)
+    == jnp tier, including the x-wrap rows at both ends."""
+    from pde_multigrid_tpu.cycles import JnpKernels
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    prob = Poisson(3)
+    geoms, gf, auxf, v, f = _wrap_level(prob, 129)
+    jk = JnpKernels(prob, geoms)
+    res = T.make_residual(prob, gf, F32, interpret=True)
+    assert res is not None
+    got = np.asarray(res(v, v, v, f))
+    want = np.asarray(jk.residual(0, v, f, auxf))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("mode", ["add", "replace"])
