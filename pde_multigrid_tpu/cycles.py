@@ -237,6 +237,22 @@ class CycleProgram:
     def fmg(self, levels: Levels) -> Levels:
         cfg = self.config
         nlev = len(self.geoms)
+        # FMG defines its own initial guess, so re-impose every level's
+        # Dirichlet data first: prior cycles zero coarse-level boundaries
+        # (there coarse v holds the *error*, reference MultiGrid1D.cpp:158),
+        # which would poison the upward leg — where v holds the *solution* —
+        # on nonzero-boundary problems if solve_step reruns on solved state.
+        # Wrap geometries keep an invariant zero boundary plane; skip them.
+        for l, geom in enumerate(self.geoms):
+            if geom.wrap:
+                continue
+            lvl = levels[l]
+            bv = self.problem.boundary_values(
+                geom.coords(lvl.v.dtype)
+            ).astype(lvl.v.dtype)
+            m_int, m_log = lvl.aux["m_int"], lvl.aux["m_log"]
+            v = lvl.v * m_int + bv * (m_log - m_int)
+            levels = _set(levels, l, dataclasses.replace(lvl, v=v))
         # cascade the RHS down (reference FMG restricts fine.f -> coarse.f
         # before recursing, MultiGrid1D.cpp:132-140)
         for l in range(nlev - 1):

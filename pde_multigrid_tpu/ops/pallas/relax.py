@@ -212,7 +212,15 @@ def make_slab_relax(
     X = shape[0]
     B = slab_rows
     T = sweeps_per_call
-    halo = 2 * T
+    # For 2D arrays axis 0 is the SUBLANE dim (tiling (8, 128) covers the
+    # last two dims), so every axis-0 DMA slice offset/size must be
+    # 8-aligned — Mosaic rejects e.g. a 20-row memref_slice.  In 3D axis 0
+    # is untiled and any extent works.  Round the DMA halo up to the
+    # alignment; the extra context rows are harmless (they widen the
+    # trapezoid's discarded corruption margin).
+    align = 8 if nd == 2 else 1
+    halo = -((2 * T) // -align) * align
+    assert B % align == 0 and X % align == 0, (nd, B, X)
     # one extra buffer row when X - ext would be odd, so every slab start
     # can stay even (block-invariant checkerboard parity) while the top
     # slab still reaches the upper boundary row
@@ -221,10 +229,11 @@ def make_slab_relax(
     assert X >= ext, f"axis0 extent {X} smaller than slab+halos {ext}"
     # wrap storage: in-kernel rolls wrap within the local ext buffer, not
     # the global array, so the +axis0 neighbor of global row X-1 (which
-    # must read the zero boundary plane) needs one extra always-zero row
-    # appended to the scratch buffers.  Harmless for non-top slabs (the
-    # zero row sits in the discarded trapezoid-corruption region).
-    zrow = 1 if geom.wrap else 0
+    # must read the zero boundary plane) needs extra always-zero rows
+    # appended to the scratch buffers (`align` of them, so 2D slices of
+    # the zero-row block stay sublane-aligned).  Harmless for non-top
+    # slabs (the zero rows sit in the discarded corruption region).
+    zrow = align if geom.wrap else 0
     loc_rows = ext + zrow
     # the loop covers full B-row slabs only; remainder rows must all be
     # boundary/padding (true for 2^k+1 grids with power-of-two B) and are
@@ -256,8 +265,17 @@ def make_slab_relax(
         *,
         nsweeps_here,
     ):
+        # offsets are computed in units of `align` and scaled back up, so
+        # Mosaic can PROVE sublane-tile divisibility of the dynamic slice
+        # starts (a bare clip() result is 8-divisible in value but not
+        # provably so)
+        def start_units(p):
+            return jnp.clip(
+                p * (B // align) - halo // align, 0, max_start // align
+            )
+
         def start_of(p):
-            return jnp.clip(p * B - halo, 0, max_start)
+            return start_units(p) * align
 
         def in_dmas(slot, p):
             s = start_of(p)
@@ -275,9 +293,9 @@ def make_slab_relax(
             )
 
         def out_dma(slot, p):
-            s = start_of(p)
+            off = (p * (B // align) - start_units(p)) * align
             return pltpu.make_async_copy(
-                vbuf.at[slot, pl.ds(p * B - s, B)],
+                vbuf.at[slot, pl.ds(off, B)],
                 o_hbm.at[pl.ds(p * B, B)],
                 out_sem.at[slot],
             )
@@ -1095,6 +1113,9 @@ def make_split_slab_relax_2d(
     nblk_j = Y2 // Bj
     max_sx = X - ext_x
     assert max_sx % 2 == 0  # even starts: checkerboard parity invariant
+    # per-array x read radii: (r, b, fr, fb) — see in_dmas
+    HX = (2 * T - 1, 2 * T, 2 * T - 1, 2 * T - 2)
+    HJ_FB = 0 if T == 1 else HJ
 
     def kernel(
         rv_hbm,
@@ -1121,11 +1142,16 @@ def make_split_slab_relax_2d(
         def start_of(p):
             return jnp.clip(p * Bx - halo_x, 0, max_sx)
 
-        # always-zero wrap rows, set once (DMAs never overwrite them)
+        # Zero-init everything once: (a) the appended wrap rows (DMAs
+        # never overwrite them), (b) rows outside the asymmetric DMA
+        # windows, which uninitialized VMEM could fill with NaN — masked
+        # blends do NOT discard NaN (0 * NaN = NaN), so every uncovered
+        # row must start finite.  Owned outputs never *depend* on these
+        # rows (verified: zeroing them reproduces the dense-kernel result
+        # bit-for-bit), they only pass through discarded lanes.
         for b in bufs:
             for slot in (0, 1):
-                b[slot, ext_x:, :] = jnp.zeros((1, loc_j, Z), dtype)
-                b[slot, :, ext_j:] = jnp.zeros((loc_x, 1, Z), dtype)
+                b[slot] = jnp.zeros((loc_x, loc_j, Z), dtype)
 
         ix = lax.broadcasted_iota(jnp.int32, (loc_x, 1, Z), 0)
         iz = lax.broadcasted_iota(jnp.int32, (loc_x, 1, Z), 2)
@@ -1153,15 +1179,36 @@ def make_split_slab_relax_2d(
             ).astype(dtype)
 
             def in_dmas(slot, p):
+                # Asymmetric per-array read halos (backward induction over
+                # the red-then-black sweep order): per T-sweep round trip
+                # the owned rows only need  b at +-2T,  r and fr at
+                # +-(2T-1),  fb at +-(2T-2)  x-rows, and fb needs no
+                # j-halo at T=1 — a ~20% read cut vs loading the full
+                # (ext_x, ext_j) window for all four arrays.  Each window
+                # is placed in the same local frame as the black array's
+                # (the widest, = start_of); nesting holds at the clamped
+                # edge blocks too, where reads past x = X-1 come from the
+                # appended zero wrap row instead of HBM.  Uncovered buffer
+                # rows hold stale finite data that only feeds discarded
+                # (non-owned) outputs.
                 s = start_of(p)
-                return [
-                    pltpu.make_async_copy(
-                        h.at[pl.ds(s, ext_x), pl.ds(sj, ext_j)],
-                        b.at[slot, pl.ds(0, ext_x), pl.ds(0, ext_j)],
-                        in_sem.at[slot, k],
+                cps = []
+                for k, (h, b) in enumerate(zip(hbms, bufs)):
+                    hx = HX[k]
+                    size = Bx + 2 * hx
+                    sk = jnp.clip(p * Bx - hx, 0, X - size)
+                    if k == 3 and HJ_FB == 0:
+                        js, jd, jsz = qj * Bj, oj, Bj
+                    else:
+                        js, jd, jsz = sj, 0, ext_j
+                    cps.append(
+                        pltpu.make_async_copy(
+                            h.at[pl.ds(sk, size), pl.ds(js, jsz)],
+                            b.at[slot, pl.ds(sk - s, size), pl.ds(jd, jsz)],
+                            in_sem.at[slot, k],
+                        )
                     )
-                    for k, (h, b) in enumerate(zip(hbms, bufs))
-                ]
+                return cps
 
             def out_dmas(slot, p):
                 s = start_of(p)
@@ -1406,8 +1453,13 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                     )
     # the slab kernel DMAs HBM slices along axis 0, which requires the
     # trailing dims to sit on tile boundaries (sublane 8 / lane 128);
-    # wrap-mode 2^k extents satisfy this automatically once big enough
+    # wrap-mode 2^k extents satisfy this automatically once big enough.
+    # For 2D, axis 0 is itself the sublane dim: extents, slab rows, and
+    # halos must all be 8-aligned (see make_slab_relax).
     if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
+        return None
+    align = 8 if len(shape) == 2 else 1
+    if shape[0] % align:
         return None
     plane = tile_padded_bytes((1,) + tuple(shape[1:]))
     # Measured on TPU v5e (129^3 Poisson): T=1 is the sweet spot — the
@@ -1415,10 +1467,10 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # adds redundant halo compute.  VMEM cost model (against v5e's 16MB
     # scoped limit): double-buffered vbuf + fbuf (4 slabs) + two masks +
     # ~2 roll temps, each ~loc_rows rows.
-    zrow = 1 if geom.wrap else 0
+    zrow = align if geom.wrap else 0
     for T in (1,):
-        for B in (16, 8, 4):
-            ext = B + 4 * T
+        for B in (16, 8) if align == 8 else (16, 8, 4):
+            ext = B + 2 * (-((2 * T) // -align) * align)
             ext += (shape[0] - ext) % 2
             if shape[0] < ext:
                 continue

@@ -420,9 +420,9 @@ def make_residual(problem, geom: LevelGeometry, dtype, interpret=False):
     make_residual_restrict instead.  Wrap x-neighbors come from adjacent
     blocks fetched via modulo BlockSpec index maps (the wrap x=X-1 ->
     x=0 read lands on the stored zero boundary plane)."""
-    X, Y, Z = geom.padded_shape
     if not (geom.wrap and geom.ndim == 3):
         return None
+    X, Y, Z = geom.padded_shape
     if Z % 128 or Y % 8 or not hasattr(problem, "kernel_operator"):
         return None
     plane = Y * Z * 4

@@ -108,6 +108,29 @@ def test_fmg_accuracy_ode1d_reference_config_f64():
     assert r.error_l2 < 1.5e-3  # O(h), h ~ 1e-3
 
 
+def test_fmg_restart_nonzero_dirichlet():
+    """solve_step (FMG) must be a complete solve from ANY incoming state,
+    not just fresh levels: earlier cycles zero coarse-level boundaries
+    (coarse v holds the error there), and FMG's upward leg must re-impose
+    the Dirichlet data before treating v as the solution.  Regression:
+    rerunning FMG on a solved state used to diverge on nonzero-boundary
+    problems (err 1e-4 -> 9e-2 on ode1d)."""
+    for problem, n in ((Ode1D(), 513), (Lyapunov2D(), 65)):
+        cfg = SolverConfig(cycle=CycleConfig("fmg", 2, 8, 8))
+        s = MultigridSolver(problem, n, cfg)
+        lv = s.fresh_levels()
+        errs = []
+        for _ in range(3):
+            lv = s.program.solve_step(lv)
+            fin = lv[0]
+            geo = s.geoms[0]
+            exact = problem.exact_solution(geo.coords(fin.v.dtype))
+            diff = np.asarray((fin.v - exact) * fin.aux["m_int"])
+            errs.append(np.abs(diff).max())
+        assert errs[1] < 2 * errs[0] + 1e-7, errs
+        assert errs[2] < 2 * errs[0] + 1e-7, errs
+
+
 def test_fmg_accuracy_lyapunov2d():
     """MAE vs the quadratic Lyapunov form (the thesis Fig. 4.3 metric)."""
     r = solve(Lyapunov2D(), 65, "fmg", 1, 8, 8, cycles=2)

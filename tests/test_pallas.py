@@ -87,6 +87,22 @@ def test_slab_kernel_matches_jnp_2d():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_slab_kernel_matches_jnp_2d_nonwrap():
+    """Non-wrap 2D (nonzero Dirichlet -> padded 2^k+1 storage): axis 0 is
+    the sublane dim, so the slab kernel must keep every axis-0 DMA slice
+    8-aligned (regression: Mosaic rejected the ext=20 window the 3D-tuned
+    halo produced on lyapunov2d levels)."""
+    prob = Lyapunov2D()
+    lvl, geom, v, f = _rand_level(
+        prob, 65, pad_last_to=128, pad_sublane_to=8
+    )
+    assert not geom.wrap
+    fn = R.make_slab_relax(prob, geom, F32, 8, 1, interpret=True)
+    got = np.asarray(fn(v, f, 3))
+    want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 3))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 def test_full_solve_pallas_backend_matches_jnp():
     """End-to-end FMG with backend='pallas' (forced, interpreter mode on
     CPU) must match the jnp backend to float32 tolerance."""
