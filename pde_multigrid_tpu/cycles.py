@@ -159,9 +159,25 @@ class CycleProgram:
         if self.config.scheme == "fas":
             return self.fas_v_cycle(levels, l)
         cfg = self.config
+        # whole-subtree fused kernels (ops/pallas/subtree.py): deeper
+        # levels are pure V-cycle temporaries in the correction scheme
+        # (coarse v zeroed / coarse f overwritten before every use), so a
+        # fused call leaves their stored state untouched — any later
+        # consumer re-initializes it first.
+        full = self._fused("fused_vcycle", l, levels[l].v, levels[l].f)
+        if full is not None:
+            return _set(
+                levels, l, dataclasses.replace(levels[l], v=full)
+            )
         levels = self._relax(levels, l, cfg.nu1)
         if l != len(self.geoms) - 1:
             fine = levels[l]
+            vc = self._fused("fused_correction", l, fine.v, fine.f)
+            if vc is not None:
+                levels = _set(
+                    levels, l, dataclasses.replace(fine, v=vc)
+                )
+                return self._relax(levels, l, cfg.nu2)
             coarse = levels[l + 1]
             cf = self._fused(
                 "residual_restrict", l, fine.v, fine.f, fine.aux, coarse.aux

@@ -21,12 +21,17 @@ class PallasKernels(JnpKernels):
     """jnp tier with per-level fused Pallas relaxation and fused
     inter-grid transfer kernels (residual+restrict, prolong+blend)."""
 
-    def __init__(self, problem, geoms, dtype, interpret: bool):
+    def __init__(self, problem, geoms, dtype, interpret: bool, cycle=None):
         super().__init__(problem, geoms)
         self._relax_fns = [
             relax_mod.plan_relax(problem, g, dtype, interpret=interpret)
             for g in geoms
         ]
+        from pde_multigrid_tpu.ops.pallas import subtree as subtree_mod
+
+        self._sub_v, self._sub_c = subtree_mod.plan_fused_cycles(
+            problem, geoms, dtype, cycle, interpret=interpret
+        )
         n = len(geoms)
         self._rr = [None] * n
         self._restrict = [None] * n
@@ -38,6 +43,18 @@ class PallasKernels(JnpKernels):
         for l in range(n - 1):
             gf, gc = geoms[l], geoms[l + 1]
             if not transfer_mod.planner_ok(gf, gc):
+                # sub-lane pairs: small resident transfer kernels (the
+                # XLA strided-gather fallbacks cost ~fixed ms per launch
+                # and FMG's f-cascade/upward leg runs one per level)
+                self._restrict[l] = subtree_mod.make_small_restrict(
+                    gf, gc, dtype, interpret=interpret
+                )
+                for mode in ("add", "replace"):
+                    self._pb[l][mode] = (
+                        subtree_mod.make_small_prolong_blend(
+                            gc, gf, dtype, mode, interpret=interpret
+                        )
+                    )
                 continue
             self._rr[l] = transfer_mod.make_residual_restrict(
                 problem, gf, gc, dtype, interpret=interpret
@@ -63,6 +80,19 @@ class PallasKernels(JnpKernels):
             return super().residual(l, v, f, aux)
         return fn(v, v, v, f)
 
+    # -- fused subtree hooks (cycles.CycleProgram consults these) ----------
+
+    def fused_vcycle(self, l, v, f):
+        """Complete V-cycle rooted at level l as one kernel, or None."""
+        fn = self._sub_v[l]
+        return None if fn is None else fn(v, f)
+
+    def fused_correction(self, l, v, f):
+        """Coarse-grid correction for level l (residual, restrict, the
+        whole deeper V-cycle, prolong, correct) as one kernel, or None."""
+        fn = self._sub_c[l]
+        return None if fn is None else fn(v, f)
+
     # -- fused transfer hooks (cycles.CycleProgram consults these) ---------
 
     def residual_restrict(self, l, v, f, aux, coarse_aux):
@@ -86,11 +116,13 @@ def is_tpu_backend() -> bool:
     return "tpu" in (dev.platform + " " + dev.device_kind).lower()
 
 
-def make_kernels(problem, geoms, dtype=None, force=False):
+def make_kernels(problem, geoms, dtype=None, force=False, cycle=None):
     """Pallas kernel tier, or None.
 
     auto mode (force=False): only on real TPU backends — interpreter-mode
-    Pallas on CPU is for tests, which request it explicitly via force."""
+    Pallas on CPU is for tests, which request it explicitly via force.
+    `cycle` (a CycleConfig) enables the fused coarse-subtree V-cycle
+    kernels, which bake in (nu1, nu2, mu)."""
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype or jnp.float32)
@@ -99,7 +131,9 @@ def make_kernels(problem, geoms, dtype=None, force=False):
     on_tpu = is_tpu_backend()
     if not on_tpu and not force:
         return None
-    k = PallasKernels(problem, geoms, dtype, interpret=not on_tpu)
+    k = PallasKernels(
+        problem, geoms, dtype, interpret=not on_tpu, cycle=cycle
+    )
     if all(fn is None for fn in k._relax_fns):
         return None
     return k

@@ -1366,15 +1366,14 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     ):
         merged_bytes = shape[0] * shape[1] * shape[2] * 4
         if merged_bytes * 7 <= RESIDENT_VMEM_BUDGET:
-            # color-split variant: half the arithmetic per sweep
-            if (
-                hasattr(problem, "split_update")
-                and shape[1] % 2 == 0
-                and (shape[1] // 2 * shape[2]) % 128 == 0
-            ):
-                return make_split_merged_relax(
-                    problem, geom, dtype, interpret
-                )
+            # Dense (non-split) kernel on purpose: the split variant
+            # (make_split_merged_relax) halves the in-VMEM arithmetic but
+            # pays 3 XLA strided-gather color conversions per relax call
+            # (sub-lane Z has no pallas converter tier), and FMG calls
+            # relax at level l in 2*(l+1) V-cycles per step — hundreds of
+            # tiny XLA gather ops whose fixed cost dwarfs the resident
+            # kernel's arithmetic.  Measured end-to-end (129^3 FMG,
+            # nu=100): dense-merged subtree beats split-merged.
             return make_merged_resident_relax(
                 problem, geom, dtype, interpret
             )

@@ -51,7 +51,11 @@ def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
         from pde_multigrid_tpu.ops.pallas import dispatch as pallas_dispatch
 
         k = pallas_dispatch.make_kernels(
-            problem, geoms, dtype=dtype, force=(backend == "pallas")
+            problem,
+            geoms,
+            dtype=dtype,
+            force=(backend == "pallas"),
+            cycle=cycle,
         )
         if k is not None:
             return k

@@ -122,6 +122,115 @@ def test_full_solve_pallas_backend_matches_jnp():
     )
 
 
+def test_fused_subtree_vcycle_matches_jnp():
+    """Whole-subtree fused V-cycle kernel (ops/pallas/subtree.py) ==
+    CycleProgram.v_cycle on the jnp tier, for both variants: the fully
+    fused V-cycle and the correction-only root (forced via a tiny VMEM
+    budget so the 32^3 root takes the correction path)."""
+    from pde_multigrid_tpu.cycles import CycleProgram, JnpKernels
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.ops.pallas import subtree
+
+    prob = Poisson(3)
+    h = Hierarchy.build(
+        prob, 33, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    cfg = CycleConfig("v", 0, 2, 3)  # nu1 != nu2: catches leg swaps
+    prog = CycleProgram(prob, h.geoms, cfg, JnpKernels(prob, h.geoms))
+    rng = np.random.default_rng(11)
+    levels = h.levels
+    lvl0 = levels[0]
+    v = jnp.asarray(
+        rng.standard_normal(h.geoms[0].padded_shape).astype(np.float32)
+    ) * lvl0.aux["m_int"]
+    f = lvl0.f
+    levels = (
+        type(lvl0)(v=v, f=f, aux=lvl0.aux),
+    ) + tuple(levels[1:])
+    want = np.asarray(prog.v_cycle(levels, 0)[0].v)
+
+    vfns, cfns = subtree.plan_fused_cycles(
+        prob, h.geoms, F32, cfg, interpret=True
+    )
+    assert vfns[0] is not None
+    got = np.asarray(vfns[0](v, f))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+    # correction-only path: shrink the fused budget so the root level
+    # falls back to the correction kernel + out-of-kernel relax
+    orig = subtree.FUSED_VMEM_BUDGET
+    try:
+        subtree.FUSED_VMEM_BUDGET = 2 * 2**20
+        vfns2, cfns2 = subtree.plan_fused_cycles(
+            prob, h.geoms, F32, cfg, interpret=True
+        )
+    finally:
+        subtree.FUSED_VMEM_BUDGET = orig
+    assert vfns2[0] is None and cfns2[0] is not None
+    aux = levels[0].aux
+    v1 = stencil.relax_rbgs(
+        lambda vv, ff: prob.relax_update(vv, ff, h.geoms[0], aux),
+        v, f, aux["m_red"], aux["m_black"], cfg.nu1,
+    )
+    v2 = jnp.asarray(cfns2[0](v1, f))
+    got2 = np.asarray(
+        stencil.relax_rbgs(
+            lambda vv, ff: prob.relax_update(vv, ff, h.geoms[0], aux),
+            v2, f, aux["m_red"], aux["m_black"], cfg.nu2,
+        )
+    )
+    np.testing.assert_allclose(got2, want, rtol=3e-5, atol=3e-6)
+
+
+def test_small_transfer_kernels_match_stencil():
+    """Single-pair resident restrict / prolong-blend kernels for sub-lane
+    wrap pairs == the stencil jnp ops (used by FMG's f-cascade and upward
+    leg where the big slab transfer kernels don't apply)."""
+    from pde_multigrid_tpu.grid import Hierarchy, base_aux
+    from pde_multigrid_tpu.ops.pallas import subtree
+
+    prob = Poisson(3)
+    h = Hierarchy.build(
+        prob, 65, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    gf, gc = h.geoms[1], h.geoms[2]  # 32^3 -> 16^3 (both sub-lane)
+    auxc = base_aux(gc)
+    auxf = base_aux(gf)
+    rng = np.random.default_rng(5)
+    fine = jnp.asarray(
+        rng.standard_normal(gf.padded_shape).astype(np.float32)
+    )
+    rs = subtree.make_small_restrict(gf, gc, F32, interpret=True)
+    got = np.asarray(rs(fine))
+    want = np.asarray(
+        stencil.restrict_full_weighting(
+            fine, auxc["m_int"], auxc["m_log"]
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+    coarse = jnp.asarray(
+        rng.standard_normal(gc.padded_shape).astype(np.float32)
+    )
+    base = jnp.asarray(
+        rng.standard_normal(gf.padded_shape).astype(np.float32)
+    )
+    p = stencil.prolong_linear(coarse, gf.padded_shape, periodic=True)
+    for mode, want in (
+        ("add", base + auxf["m_int"] * p),
+        ("replace", base + auxf["m_int"] * (p - base)),
+    ):
+        pb = subtree.make_small_prolong_blend(
+            gc, gf, F32, mode, interpret=True
+        )
+        np.testing.assert_allclose(
+            np.asarray(pb(coarse, base)),
+            np.asarray(want),
+            rtol=3e-5,
+            atol=3e-6,
+        )
+
+
 def test_plan_relax_covers_all_levels_3d():
     """On tile-aligned hierarchies every 3D level gets a fused kernel."""
     prob = Poisson(3)
