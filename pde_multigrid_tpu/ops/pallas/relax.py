@@ -1407,7 +1407,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     ):
         half_plane = (shape[1] // 2) * shape[2] * 4
         for B in (16, 8, 4):
-            ext = B + 4
+            ext = B + 4 * SPLIT_SWEEPS_PER_CALL
             if shape[0] < ext or shape[0] % B:
                 continue
             if half_plane * 14 * (ext + 1) <= SLAB_VMEM_BUDGET:
@@ -1433,7 +1433,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     ):
         Y2 = shape[1] // 2
         for B in (8, 4):
-            ext = B + 4
+            ext = B + 4 * SPLIT_SWEEPS_PER_CALL
             if shape[0] % B or shape[0] < ext or (shape[0] - ext) % 2:
                 continue
             for Bj in (64, 32, 16, 8):

@@ -50,6 +50,10 @@ from pde_multigrid_tpu.ops.pallas import relax as R
 #                          deeper subtree
 FUSED_VMEM_BUDGET = 10 * 2**20
 CORR_VMEM_BUDGET = 14 * 2**20
+# merged-layout root: ~6 merged arrays (v, f, out, roll temps); the
+# level-pair transfers stay in merged/coarse shapes (no unmerged root
+# intermediates — see _merged_pair_mats)
+MERGED_ROOT_BUDGET = 14 * 2**20
 
 
 def _pad_bytes(shape) -> int:
@@ -105,37 +109,138 @@ def _transfer_mats(geoms):
     return mats
 
 
-def _build(problem, geoms, dtype, nu1, nu2, mu, with_root_relax, interpret):
+def _merged_masks_and_shift(geom, dtype):
+    """Merged-layout ((X, M, 128) view of a wrap (X, Y, Z) level) masks
+    and geometric shift, mirroring relax.make_merged_resident_relax."""
+    X, Y, Z = geom.padded_shape
+    M = (Y * Z) // 128
+    zbits = Z.bit_length() - 1
+    shape = (X, M, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    flat = jax.lax.broadcasted_iota(jnp.int32, shape, 1) * 128 + lane
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gy = flat >> zbits
+    gz = flat & (Z - 1)
+    interior = (gx >= 1) & (gy >= 1) & (gz >= 1)
+    par = (gx + gy + gz) % 2
+    m_red = ((par == 0) & interior).astype(dtype)
+    m_black = ((par == 1) & interior).astype(dtype)
+    m_int = interior.astype(dtype)
+
+    def flat_shift(a, s: int):
+        b = jnp.roll(a, -s, axis=2)
+
+        def carry(x, d):
+            return x if M == 1 else jnp.roll(x, d, axis=1)
+
+        if s > 0:
+            return jnp.where(lane < 128 - s, b, carry(b, -1))
+        return jnp.where(lane >= -s, b, carry(b, 1))
+
+    def geom_shift(a, axis: int, off: int):
+        if axis == 0:
+            return jnp.roll(a, -off, axis=0)
+        if axis == 1:
+            return flat_shift(a, off * Z)
+        return flat_shift(a, off)
+
+    return m_red, m_black, m_int, geom_shift
+
+
+def _merged_root_ok(problem, geom) -> bool:
+    # K = 128/Z == 2 only: then merged row m holds exactly the y-pair
+    # (2m, 2m+1), so even-y rows ARE the merged rows and the level-pair
+    # transfers reduce to single lane-dot terms (no unmerged
+    # intermediates) — see _merged_pair_mats
+    X, Y, Z = geom.padded_shape
+    return (
+        geom.wrap
+        and geom.ndim == 3
+        and Z * 2 == 128
+        and Y % 2 == 0
+        and hasattr(problem, "merged_update")
+    )
+
+
+def _merged_pair_mats(Zf: int):
+    """Lane matrices for direct transfers between a merged root
+    (X, Yf/2, 128) with Zf = 64 and its unmerged coarse level
+    (Xc, Yc=Yf/2, Zc=Zf/2).  Merged row m <-> y in {2m, 2m+1} with even
+    y on lanes [0, 64) — so the y-subsample is the row identity and:
+      restriction: coarse[x', m, k] = smoothed[2x', m, lane 2k]
+      prolongation: lanes [0,64) get the z-interp of coarse row m (even
+      fine y), lanes [64,128) the z-interp of the (m, m+1)-average (odd
+      fine y)."""
+    Zc = Zf // 2
+    br = np.zeros((128, Zc), np.float32)
+    br[2 * np.arange(Zc), np.arange(Zc)] = 1.0
+    zp = np.zeros((Zf, Zc), np.float32)
+    zp[2 * np.arange(Zc), np.arange(Zc)] = 1.0
+    zp[2 * np.arange(Zc) + 1, np.arange(Zc)] = 0.5
+    zp[2 * np.arange(Zc) + 1, (np.arange(Zc) + 1) % Zc] = 0.5
+    be = np.zeros((Zc, 128), np.float32)
+    be[:, :Zf] = zp.T
+    bo = np.zeros((Zc, 128), np.float32)
+    bo[:, Zf:] = zp.T
+    return tuple(jnp.asarray(m) for m in (br, be, bo))
+
+
+def _build(
+    problem,
+    geoms,
+    dtype,
+    nu1,
+    nu2,
+    mu,
+    with_root_relax,
+    interpret,
+    root_merged=False,
+):
     """One fused kernel over `geoms` (root first).  with_root_relax=True
     fuses the complete V-cycle rooted at geoms[0]; False fuses only the
     coarse-grid correction (the root's own nu1/nu2 relaxation stays in
     the caller's dedicated relax kernel — used when the root level is too
-    large for the ~8x value-temporary footprint of in-kernel sweeps)."""
+    large for the ~8x value-temporary footprint of in-kernel sweeps).
+
+    root_merged=True (implies with_root_relax) keeps the ROOT level in
+    the merged (X, Y*Z/128, 128) layout in-kernel — its roll temporaries
+    are tile-waste-free, which fits a 64^3 root's full V-cycle where the
+    unmerged form cannot.  Only the residual (down) and the prolonged
+    error (up) cross layouts, via the K=128/Z separable double-dot terms
+    of _layout_mats."""
     geoms = list(geoms)
     K = len(geoms)
     mats_np = _transfer_mats(geoms)
     flat_mats = [m for quad in mats_np for m in quad]
+    if root_merged:
+        flat_mats += list(_merged_pair_mats(geoms[0].padded_shape[2]))
 
     def roll(a, ax, off):
         return jnp.roll(a, -off, axis=ax)
 
     def kernel(v_ref, f_ref, *rest):
-        mat_refs, (o_ref,) = rest[: 4 * (K - 1)], rest[4 * (K - 1) :]
+        n_t = 4 * (K - 1)
+        n_l = 3 if root_merged else 0
+        mat_refs = rest[:n_t]
+        pm_refs = rest[n_t : n_t + n_l]
+        (o_ref,) = rest[n_t + n_l :]
         mats = [
             tuple(mat_refs[4 * k + i][:] for i in range(4))
             for k in range(K - 1)
         ]
-        masks = [
-            R._coords_and_masks(problem, g, g.padded_shape, 0, dtype)
-            for g in geoms
-        ]
+        # masks/pre are recomputed at each use (pure iota math): hoisting
+        # them keeps every level's three mask arrays live across the
+        # whole kernel and blows the scoped-VMEM stack budget
+        def masks(k):
+            g = geoms[k]
+            return R._coords_and_masks(problem, g, g.padded_shape, 0, dtype)
 
         def relax(k, v, f, ns):
-            pre, mr, mb = masks[k]
+            pre, mr, mb = masks(k)
             return R._sweeps(problem, geoms[k], v, f, pre, mr, mb, ns)
 
         def m_int(k):
-            _, mr, mb = masks[k]
+            _, mr, mb = masks(k)
             return mr + mb  # disjoint 1.0 masks
 
         def residual(k, v, f):
@@ -185,18 +290,99 @@ def _build(problem, geoms, dtype, nu1, nu2, mu, with_root_relax, interpret):
             return relax(k, v, f, nu2)
 
         v, f = v_ref[:], f_ref[:]
+        if root_merged:
+            # merged masks and the lane iota are likewise rebuilt at each
+            # use site to keep their live ranges short
+            def relax_root(vm, fm, ns):
+                mr_m, mb_m, _, gshift = _merged_masks_and_shift(
+                    geoms[0], dtype
+                )
+
+                def one(_, vm):
+                    vm = vm + mr_m * (
+                        problem.merged_update(vm, fm, gshift, geoms[0]) - vm
+                    )
+                    vm = vm + mb_m * (
+                        problem.merged_update(vm, fm, gshift, geoms[0]) - vm
+                    )
+                    return vm
+
+                if ns == 1:
+                    return one(0, vm)
+                return jax.lax.fori_loop(0, ns, one, vm)
+
+            v = relax_root(v, f, nu1)
+            if K > 1:
+                br, be, bo = (r[:] for r in pm_refs)
+                _, _, mi_m, gshift = _merged_masks_and_shift(
+                    geoms[0], dtype
+                )
+                r_m = mi_m * (
+                    f - problem.kernel_operator(v, geoms[0], gshift)
+                )
+                # restrict straight out of the merged layout: smooth
+                # with geometric shifts, even-x reshape, lane pick-dot
+                # (even-y rows ARE the merged rows, see _merged_pair_mats)
+                a = r_m
+                for ax in range(3):
+                    a = (
+                        0.25 * gshift(a, ax, -1)
+                        + 0.5 * a
+                        + 0.25 * gshift(a, ax, 1)
+                    )
+
+                def subm(x):
+                    x = x.reshape(
+                        x.shape[0] // 2, 2, *x.shape[1:]
+                    )[:, 0]
+                    return _xeinsum("lK,xml->xmK", br, x)
+
+                sm, inj = subm(a), subm(r_m)
+                cf = inj + m_int(1) * (sm - inj)
+                cv = jnp.zeros(geoms[1].padded_shape, dtype)
+                for _ in range(mu):
+                    cv = vcyc(1, cv, cf)
+                # prolong straight into the merged layout: x interleave,
+                # even-y lanes from the z-interp of coarse row m, odd-y
+                # lanes from the z-interp of the (m, m+1 wrap) average
+                mid = 0.5 * (cv + jnp.roll(cv, -1, axis=0))
+                a = jnp.stack([cv, mid], axis=1).reshape(
+                    -1, *cv.shape[1:]
+                )
+                yavg = 0.5 * (a + jnp.roll(a, -1, axis=1))
+                err_m = _xeinsum("Kl,xmK->xml", be, a) + _xeinsum(
+                    "Kl,xmK->xml", bo, yavg
+                )
+                _, _, mi_m2, _ = _merged_masks_and_shift(geoms[0], dtype)
+                v = v + mi_m2 * err_m
+            o_ref[:] = relax_root(v, f, nu2)
+            return
         o_ref[:] = (
             vcyc(0, v, f) if with_root_relax else correction(0, v, f)
         )
 
+    X0, Y0, Z0 = geoms[0].padded_shape
+    kshape = (
+        (X0, (Y0 * Z0) // 128, 128) if root_merged else (X0, Y0, Z0)
+    )
     call = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(geoms[0].padded_shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(kshape, dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         * (2 + len(flat_mats)),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )
+
+    if root_merged:
+
+        def run(v, f):
+            out = call(
+                v.reshape(kshape), f.reshape(kshape), *flat_mats
+            )
+            return out.reshape(X0, Y0, Z0)
+
+        return run
 
     def run(v, f):
         return call(v, f, *flat_mats)
@@ -318,10 +504,22 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
             continue
         deeper = sum(_pad_bytes(g.padded_shape) for g in sub[1:])
         root = _pad_bytes(sub[0].padded_shape)
+        X0, Y0, Z0 = sub[0].padded_shape
+        mroot = X0 * Y0 * Z0 * 4  # merged layout: zero tile waste
         if 8 * (root + deeper) <= FUSED_VMEM_BUDGET:
             vfns[l] = _build(
                 problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
                 True, interpret,
+            )
+        elif _merged_root_ok(problem, sub[0]) and (
+            6 * mroot + 8 * deeper <= MERGED_ROOT_BUDGET
+        ):
+            # full V-cycle with the root kept in merged layout in-kernel
+            # (roll temps tile-waste-free; only the residual/error cross
+            # layouts, via exact double-dot terms)
+            vfns[l] = _build(
+                problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
+                True, interpret, root_merged=True,
             )
         elif l + 1 < n and vfns[l + 1] is not None and (
             4 * root + 8 * deeper <= CORR_VMEM_BUDGET

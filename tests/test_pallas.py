@@ -158,15 +158,42 @@ def test_fused_subtree_vcycle_matches_jnp():
 
     # correction-only path: shrink the fused budget so the root level
     # falls back to the correction kernel + out-of-kernel relax
-    orig = subtree.FUSED_VMEM_BUDGET
+    orig = subtree.FUSED_VMEM_BUDGET, subtree.MERGED_ROOT_BUDGET
     try:
         subtree.FUSED_VMEM_BUDGET = 2 * 2**20
+        subtree.MERGED_ROOT_BUDGET = 0
         vfns2, cfns2 = subtree.plan_fused_cycles(
             prob, h.geoms, F32, cfg, interpret=True
         )
     finally:
-        subtree.FUSED_VMEM_BUDGET = orig
+        subtree.FUSED_VMEM_BUDGET, subtree.MERGED_ROOT_BUDGET = orig
     assert vfns2[0] is None and cfns2[0] is not None
+
+    # merged-root variant (the 64^3 / Z=64 path): root relaxed and
+    # residualed in merged layout, level-pair transfers via the direct
+    # lane-dot terms of _merged_pair_mats
+    h64 = Hierarchy.build(
+        prob, 65, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    assert subtree._merged_root_ok(prob, h64.geoms[0])
+    prog64 = CycleProgram(
+        prob, h64.geoms, cfg, JnpKernels(prob, h64.geoms)
+    )
+    l64 = h64.levels
+    v64 = jnp.asarray(
+        rng.standard_normal(h64.geoms[0].padded_shape).astype(np.float32)
+    ) * l64[0].aux["m_int"]
+    lv64 = (
+        type(l64[0])(v=v64, f=l64[0].f, aux=l64[0].aux),
+    ) + tuple(l64[1:])
+    want64 = np.asarray(prog64.v_cycle(lv64, 0)[0].v)
+    fn_m = subtree._build(
+        prob, h64.geoms, F32, cfg.nu1, cfg.nu2, cfg.mu,
+        True, True, root_merged=True,
+    )
+    got_m = np.asarray(fn_m(v64, l64[0].f))
+    np.testing.assert_allclose(got_m, want64, rtol=3e-5, atol=3e-6)
+
     aux = levels[0].aux
     v1 = stencil.relax_rbgs(
         lambda vv, ff: prob.relax_update(vv, ff, h.geoms[0], aux),
