@@ -840,6 +840,7 @@ def make_split_slab_relax(
     slab_rows: int,
     sweeps_per_call: int = 1,
     interpret=False,
+    raw: bool = False,
 ):
     """Double-buffered slab relaxation on COLOR-SPLIT storage (3D, wrap).
 

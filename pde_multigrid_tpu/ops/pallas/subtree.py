@@ -52,8 +52,13 @@ FUSED_VMEM_BUDGET = 10 * 2**20
 CORR_VMEM_BUDGET = 14 * 2**20
 # merged-layout root: ~6 merged arrays (v, f, out, roll temps); the
 # level-pair transfers stay in merged/coarse shapes (no unmerged root
-# intermediates — see _merged_pair_mats)
+# intermediates — see _pair64_mats)
 MERGED_ROOT_BUDGET = 14 * 2**20
+# run in-kernel sweeps of DEEPER mergeable levels in the merged
+# (X, Y*Z/128, 128) layout (2-8x less tile-padding VPU waste than the
+# lane-padded sub-lane form), converting at relax boundaries via the
+# exact double-dot terms of _lay_terms.  Module flag for A/B timing.
+MERGE_DEEP = True
 
 
 def _pad_bytes(shape) -> int:
@@ -147,42 +152,91 @@ def _merged_masks_and_shift(geom, dtype):
     return m_red, m_black, m_int, geom_shift
 
 
-def _merged_root_ok(problem, geom) -> bool:
-    # K = 128/Z == 2 only: then merged row m holds exactly the y-pair
-    # (2m, 2m+1), so even-y rows ARE the merged rows and the level-pair
-    # transfers reduce to single lane-dot terms (no unmerged
-    # intermediates) — see _merged_pair_mats
+def _can_merge(problem, geom) -> bool:
+    """Level can be held in the merged (X, Y*Z/128, 128) layout in-kernel
+    (zero or reduced tile waste vs the 4-8x of lane-padded sub-lane
+    arrays)."""
     X, Y, Z = geom.padded_shape
     return (
         geom.wrap
         and geom.ndim == 3
-        and Z * 2 == 128
-        and Y % 2 == 0
+        and Z < 128
+        and (Y * Z) % 128 == 0
         and hasattr(problem, "merged_update")
     )
 
 
-def _merged_pair_mats(Zf: int):
-    """Lane matrices for direct transfers between a merged root
-    (X, Yf/2, 128) with Zf = 64 and its unmerged coarse level
-    (Xc, Yc=Yf/2, Zc=Zf/2).  Merged row m <-> y in {2m, 2m+1} with even
-    y on lanes [0, 64) — so the y-subsample is the row identity and:
+def _level_bytes(problem, geom) -> int:
+    """In-kernel VMEM bytes for one array of this level in its chosen
+    representation."""
+    X, Y, Z = geom.padded_shape
+    if _can_merge(problem, geom):
+        M = (Y * Z) // 128
+        return X * max(M, 8) * 128 * 4
+    return _pad_bytes(geom.padded_shape)
+
+
+def _f32(b):
+    return b.astype(jnp.float32)
+
+
+def _iota2(shape):
+    i = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return i, j
+
+
+def _lay_terms(geom):
+    """In-kernel iota-built 0/1 matrices converting one x-slice between
+    the unmerged (Y, Z) and merged (M, 128) layouts: merged row m holds
+    y in [K*m, K*(m+1)) for K = 128/Z, so
+        unmerged = sum_j A_j @ merged @ Bt_j
+        merged   = sum_j At_j @ unmerged @ B_j
+    with A_j (Y, M) picking y = K*m + j and B_j (Z, 128) picking lanes
+    l = j*Z + z (At/Bt built directly — a transpose of a traced 2D value
+    changes the lane extent, which Mosaic rejects)."""
+    X, Y, Z = geom.padded_shape
+    K = 128 // Z
+    M = (Y * Z) // 128
+    terms = []
+    for j in range(K):
+        yi, mi = _iota2((Y, M))
+        A = _f32(yi == K * mi + j)
+        mi2, yi2 = _iota2((M, Y))
+        At = _f32(yi2 == K * mi2 + j)
+        zi, li = _iota2((Z, 128))
+        B = _f32(li == j * Z + zi)
+        li2, zi2 = _iota2((128, Z))
+        Bt = _f32(li2 == j * Z + zi2)
+        terms.append((A, At, B, Bt))
+    return terms
+
+
+def _zp_entry(r, c, Zf, Zc):
+    """Periodic linear-interpolation matrix entry zp[r, c] for the z
+    upsample Zc -> Zf (out[2c]=a[c], out[2c+1]=(a[c]+a[(c+1)%Zc])/2),
+    as elementwise iota math (all entries powers of two)."""
+    return (
+        _f32(r == 2 * c)
+        + 0.5 * _f32(r == 2 * c + 1)
+        + 0.5 * _f32((2 * c - r) % Zf == 1)
+    )
+
+
+def _pair64_mats(Zf: int):
+    """Iota-built lane matrices for DIRECT transfers between a merged
+    Z=64 level (rows m <-> y-pair (2m, 2m+1), even y on lanes [0, 64))
+    and its unmerged coarse level:
       restriction: coarse[x', m, k] = smoothed[2x', m, lane 2k]
-      prolongation: lanes [0,64) get the z-interp of coarse row m (even
-      fine y), lanes [64,128) the z-interp of the (m, m+1)-average (odd
-      fine y)."""
+      prolongation: lanes [0,64) <- z-interp of coarse row m (even fine
+      y), lanes [64,128) <- z-interp of the (m, m+1 wrap) average."""
     Zc = Zf // 2
-    br = np.zeros((128, Zc), np.float32)
-    br[2 * np.arange(Zc), np.arange(Zc)] = 1.0
-    zp = np.zeros((Zf, Zc), np.float32)
-    zp[2 * np.arange(Zc), np.arange(Zc)] = 1.0
-    zp[2 * np.arange(Zc) + 1, np.arange(Zc)] = 0.5
-    zp[2 * np.arange(Zc) + 1, (np.arange(Zc) + 1) % Zc] = 0.5
-    be = np.zeros((Zc, 128), np.float32)
-    be[:, :Zf] = zp.T
-    bo = np.zeros((Zc, 128), np.float32)
-    bo[:, Zf:] = zp.T
-    return tuple(jnp.asarray(m) for m in (br, be, bo))
+    li, ki = _iota2((128, Zc))
+    br = _f32(li == 2 * ki)
+    ki2, li2 = _iota2((Zc, 128))
+    be = jnp.where(li2 < Zf, _zp_entry(li2, ki2, Zf, Zc), 0.0)
+    bo = jnp.where(li2 >= Zf, _zp_entry(li2 - Zf, ki2, Zf, Zc), 0.0)
+    return br, be, bo
 
 
 def _build(
@@ -212,18 +266,18 @@ def _build(
     K = len(geoms)
     mats_np = _transfer_mats(geoms)
     flat_mats = [m for quad in mats_np for m in quad]
-    if root_merged:
-        flat_mats += list(_merged_pair_mats(geoms[0].padded_shape[2]))
+    deep_merged = [
+        MERGE_DEEP and k > 0 and _can_merge(problem, geoms[k])
+        for k in range(K)
+    ]
 
     def roll(a, ax, off):
         return jnp.roll(a, -off, axis=ax)
 
     def kernel(v_ref, f_ref, *rest):
         n_t = 4 * (K - 1)
-        n_l = 3 if root_merged else 0
         mat_refs = rest[:n_t]
-        pm_refs = rest[n_t : n_t + n_l]
-        (o_ref,) = rest[n_t + n_l :]
+        (o_ref,) = rest[n_t:]
         mats = [
             tuple(mat_refs[4 * k + i][:] for i in range(4))
             for k in range(K - 1)
@@ -235,7 +289,49 @@ def _build(
             g = geoms[k]
             return R._coords_and_masks(problem, g, g.padded_shape, 0, dtype)
 
+        def to_m(k, a):
+            """Unmerged (X, Y, Z) value -> merged (X, M, 128)."""
+            out = 0.0
+            for _, At, B, _ in _lay_terms(geoms[k]):
+                t = _xeinsum("my,xyz->xmz", At, a)
+                out = out + _xeinsum("zl,xmz->xml", B, t)
+            return out
+
+        def to_u(k, a):
+            """Merged (X, M, 128) value -> unmerged (X, Y, Z).  Lanes are
+            contracted FIRST so every intermediate is the small (X, M, Z)
+            shape (contracting y first materializes (X, Y, 128) temps,
+            which blew the scoped-VMEM stack at the 64^3 merged root)."""
+            out = 0.0
+            for A, _, _, Bt in _lay_terms(geoms[k]):
+                t = _xeinsum("lz,xml->xmz", Bt, a)
+                out = out + _xeinsum("ym,xmz->xyz", A, t)
+            return out
+
         def relax(k, v, f, ns):
+            if deep_merged[k]:
+                # sweeps in the merged layout (tile-waste-free VPU work);
+                # the conversions amortize over the ns sweeps
+                vm, fm = to_m(k, v), to_m(k, f)
+                mr, mb, _, gshift = _merged_masks_and_shift(
+                    geoms[k], dtype
+                )
+
+                def one(_, w):
+                    w = w + mr * (
+                        problem.merged_update(w, fm, gshift, geoms[k]) - w
+                    )
+                    w = w + mb * (
+                        problem.merged_update(w, fm, gshift, geoms[k]) - w
+                    )
+                    return w
+
+                vm = (
+                    one(0, vm)
+                    if ns == 1
+                    else jax.lax.fori_loop(0, ns, one, vm)
+                )
+                return to_u(k, vm)
             pre, mr, mb = masks(k)
             return R._sweeps(problem, geoms[k], v, f, pre, mr, mb, ns)
 
@@ -313,7 +409,7 @@ def _build(
 
             v = relax_root(v, f, nu1)
             if K > 1:
-                br, be, bo = (r[:] for r in pm_refs)
+                br, be, bo = _pair64_mats(geoms[0].padded_shape[2])
                 _, _, mi_m, gshift = _merged_masks_and_shift(
                     geoms[0], dtype
                 )
@@ -322,7 +418,7 @@ def _build(
                 )
                 # restrict straight out of the merged layout: smooth
                 # with geometric shifts, even-x reshape, lane pick-dot
-                # (even-y rows ARE the merged rows, see _merged_pair_mats)
+                # (even-y rows ARE the merged rows, see _pair64_mats)
                 a = r_m
                 for ax in range(3):
                     a = (
@@ -505,14 +601,19 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
         deeper = sum(_pad_bytes(g.padded_shape) for g in sub[1:])
         root = _pad_bytes(sub[0].padded_shape)
         X0, Y0, Z0 = sub[0].padded_shape
-        mroot = X0 * Y0 * Z0 * 4  # merged layout: zero tile waste
+        mroot = _level_bytes(problem, sub[0])
         if 8 * (root + deeper) <= FUSED_VMEM_BUDGET:
             vfns[l] = _build(
                 problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
                 True, interpret,
             )
-        elif _merged_root_ok(problem, sub[0]) and (
-            6 * mroot + 8 * deeper <= MERGED_ROOT_BUDGET
+        elif (
+            _can_merge(problem, sub[0])
+            # the direct level-pair transfers of _pair64_mats need
+            # K = 128/Z == 2 (merged row m <-> the y-pair (2m, 2m+1))
+            and Z0 * 2 == 128
+            and Y0 % 2 == 0
+            and 6 * mroot + 8 * deeper <= MERGED_ROOT_BUDGET
         ):
             # full V-cycle with the root kept in merged layout in-kernel
             # (roll temps tile-waste-free; only the residual/error cross

@@ -171,11 +171,12 @@ def test_fused_subtree_vcycle_matches_jnp():
 
     # merged-root variant (the 64^3 / Z=64 path): root relaxed and
     # residualed in merged layout, level-pair transfers via the direct
-    # lane-dot terms of _merged_pair_mats
+    # lane-dot terms of _pair64_mats
     h64 = Hierarchy.build(
         prob, 65, pad_last_to=128, pad_sublane_to=8, wrap=True
     )
-    assert subtree._merged_root_ok(prob, h64.geoms[0])
+    assert subtree._can_merge(prob, h64.geoms[0])
+    assert h64.geoms[0].padded_shape[2] == 64
     prog64 = CycleProgram(
         prob, h64.geoms, cfg, JnpKernels(prob, h64.geoms)
     )
