@@ -101,6 +101,14 @@ def main():
     ap.add_argument("--nu0", type=int, default=2)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--backend", default="auto")
+    ap.add_argument(
+        "--precision",
+        choices=["f32", "mixed"],
+        default="mixed",
+        help="mixed (default) = bf16 defect-correction smoothing on "
+        "slab-tier levels; converges to the same f32 fixed point (the "
+        "convergence assert below holds either way)",
+    )
     ap.add_argument("--pad-last", type=int, default=0,
                     help="pad last axis to this multiple (0 = auto)")
     args = ap.parse_args()
@@ -128,6 +136,7 @@ def main():
     cfg = SolverConfig(
         cycle=CycleConfig("fmg", args.nu0, args.nu, args.nu),
         backend=args.backend,
+        precision=args.precision,
         pad_last_to=args.pad_last,
     )
     solver = MultigridSolver(problem, args.n, cfg)
@@ -201,7 +210,8 @@ def main():
     from pde_multigrid_tpu.utils import roofline
 
     _, model_bytes, _ = roofline.cycle_traffic_model(
-        solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu
+        solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu,
+        precision=args.precision,
     )
     pct = roofline.percent_of_roofline(per_step, model_bytes)
     print(

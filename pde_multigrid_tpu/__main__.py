@@ -109,6 +109,12 @@ def main(argv=None):
     )
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--backend", default="auto", help="auto | jnp | pallas")
+    ap.add_argument(
+        "--precision",
+        choices=["f32", "mixed"],
+        default="f32",
+        help="mixed = bf16 defect-correction smoothing (same f32 result)",
+    )
     ap.add_argument("--tol", type=float, default=0.0)
     ap.add_argument("--cycles", type=int, default=1, help="max cycles after the first")
     ap.add_argument("--mesh", type=int, default=0, help="shard over N devices")
@@ -143,6 +149,7 @@ def main(argv=None):
         ),
         dtype=args.dtype,
         backend=args.backend,
+        precision=args.precision,
         tol=args.tol,
         max_cycles=max(args.cycles, 1),
     )

@@ -72,6 +72,10 @@ class SolverConfig:
     cycle: CycleConfig = CycleConfig()
     dtype: str = "float32"  # reference is float32 throughout (SURVEY.md §2.7.9)
     backend: Literal["auto", "jnp", "pallas"] = "auto"
+    # "mixed": keep the iterate/residual path in `dtype` but smooth each
+    # long relax leg via bf16 defect correction (ops/pallas/defect.py) —
+    # ~2x HBM-traffic cut on slab-tier levels, same f32 fixed point
+    precision: Literal["f32", "mixed"] = "f32"
     num_levels: int | None = None  # None = down to 3 points/axis
     # storage: "auto" picks wrap storage (N-1 = 2^k points per axis, the
     # zero boundary plane shared via roll wraparound — no padding waste)

@@ -1,0 +1,265 @@
+"""Mixed-precision defect-correction relaxation (f32 state, bf16 sweeps).
+
+The relaxation sweeps at HBM-resident levels are memory-bound: the split
+slab kernel (ops/pallas/relax.py) already sits at the f32 read roofline,
+so the only remaining 2x is the word size.  Storing the ITERATE in bf16
+is not acceptable — the solution would be limited to ~3 decimal digits,
+far above discretization accuracy — but any linear stationary smoother
+applied to the *error equation* is algebraically identical to applying
+it to the iterate directly:
+
+    v_nu = S^nu(v_0; f)  ==  v_0 + E_nu   where   E_nu = S^nu(0; r_0),
+    r_0 = f - A v_0
+
+(both sides equal v* + M^nu (v_0 - v*) for the smoother's iteration
+matrix M).  The error E and residual r_0 shrink with convergence, so
+carrying THEM in bf16 perturbs each relax leg by only ~0.4% of the
+current error — the iterate stays f32 and the solver converges to the
+same f32 fixed point (tests/test_mixed.py asserts this end-to-end).
+
+Per nu-sweep leg this replaces nu f32 sweeps (12 B/point each in split
+storage) with:
+
+    1. residual+split+cast: one fused f32 pass emitting the bf16
+       color-split residual halves (make_residual_split),
+    2. nu bf16 sweeps of the error equation at 6 B/point
+       (relax.make_split_slab_relax with dtype=bf16, raw color-split IO),
+    3. merge+fold: one fused pass adding the bf16 error halves into the
+       f32 iterate (make_merge_fold; the accumulation is f32).
+
+Net ~2x HBM-traffic cut for nu >> 8 (MIXED_MIN_SWEEPS gates small legs).
+Reference precision context: the reference is float32 throughout
+(SURVEY.md §2.7.9) and its GPU lacks fast reduced precision; this layer
+is a TPU-native extension that preserves the f32 results.
+
+The color-split convention matches relax._split_qmask: with
+q = (x + z) % 2, red points of row (x, z) sit at y = 2j + q.  The y
+extraction/interleave runs as MXU dots with 0/1 pick matrices (strided
+sublane slices are unsupported in Mosaic); picks of bf16 values with f32
+accumulation are exact, and the fold is computed in f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from pde_multigrid_tpu.grid import LevelGeometry
+from pde_multigrid_tpu.ops.pallas import relax as relax_mod
+
+# bf16 defect smoothing engages only when the leg's sweep savings cover
+# the two extra f32 passes (residual ~3 arrays, fold ~2.5 arrays ~= 5-6
+# f32-sweep-equivalents of traffic at 6 B/pt saved per sweep)
+MIXED_MIN_SWEEPS = 8
+
+DEFECT_VMEM_BUDGET = 12 * 2**20
+
+
+def _rows(X, Y, Z, per_row_bytes, budget=DEFECT_VMEM_BUDGET):
+    for B in (8, 4, 2):
+        if X % B == 0 and X // B >= 2 and per_row_bytes * B <= budget:
+            return B
+    return None
+
+
+def make_residual_split(
+    problem, geom: LevelGeometry, dtype, out_dtype, interpret=False
+):
+    """Fused kernel: (r_red, r_black) = split(cast(m_int * (f - L v))).
+
+    One f32 read of (v, f) per call; emits the color-split residual
+    halves directly in `out_dtype` (bf16), saving the dense-r round trip
+    a separate residual + split would pay.  x-neighbors arrive via
+    modulo BlockSpec maps exactly as in transfer.make_residual (the wrap
+    read of x = X-1 -> 0 lands on the stored zero boundary plane)."""
+    if not (geom.wrap and geom.ndim == 3):
+        return None
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    if Z % 128 or Y % 8 or Y2 % 16 or not hasattr(problem, "kernel_operator"):
+        return None
+    # VMEM per row: 4 f32 (Y,Z) blocks in/ext + 2 bf16 (Y2,Z) out + temps
+    B = _rows(X, Y, Z, Y * Z * 4 * 14)
+    if B is None:
+        return None
+    nblk = X // B
+    # stacked transposed picks: rows [0, Y2) extract even y, [Y2, 2Y2) odd
+    pt = np.zeros((2 * Y2, Y), np.float32)
+    pt[np.arange(Y2), 2 * np.arange(Y2)] = 1.0
+    pt[Y2 + np.arange(Y2), 2 * np.arange(Y2) + 1] = 1.0
+    pt = jnp.asarray(pt, out_dtype)
+
+    def kernel(vm_ref, v_ref, vp_ref, f_ref, pt_ref, r_ref, b_ref):
+        ext = jnp.concatenate(
+            [vm_ref[B - 1 : B], v_ref[:], vp_ref[0:1]], axis=0
+        )
+
+        def roll(a, ax, off):
+            return jnp.roll(a, -off, axis=ax)
+
+        Lv = problem.kernel_operator(ext, geom, roll)[1 : B + 1]
+        x0 = pl.program_id(0) * B
+        gx = x0 + lax.broadcasted_iota(jnp.int32, (B, Y, Z), 0)
+        gy = lax.broadcasted_iota(jnp.int32, (B, Y, Z), 1)
+        gz = lax.broadcasted_iota(jnp.int32, (B, Y, Z), 2)
+        m = ((gx >= 1) & (gy >= 1) & (gz >= 1)).astype(dtype)
+        r16 = (m * (f_ref[:] - Lv)).astype(out_dtype)
+        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
+        for i in range(B):
+            # picks of bf16 values, f32-accumulated: exact
+            s = jnp.dot(
+                pt_ref[:], r16[i], preferred_element_type=jnp.float32
+            ).astype(out_dtype)
+            q1 = ((x0 + i + iz) % 2) == 1
+            r_ref[i] = jnp.where(q1, s[Y2:], s[:Y2])
+            b_ref[i] = jnp.where(q1, s[:Y2], s[Y2:])
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, Y, Z), lambda i: ((i - 1) % nblk, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: ((i + 1) % nblk, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((2 * Y2, Y), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, Y2, Z), out_dtype),
+            jax.ShapeDtypeStruct((X, Y2, Z), out_dtype),
+        ),
+        interpret=interpret,
+    )
+    return lambda v, f: call(v, v, v, f, pt)
+
+
+def make_merge_fold(
+    geom: LevelGeometry, in_dtype, dtype, interpret=False
+):
+    """Fused kernel: v' = v + merge(e_red, e_black).
+
+    Reads the bf16 color-split error halves and the f32 iterate, writes
+    the folded f32 iterate: the interleave is an exact pick-dot widen of
+    the bf16 values and the add runs in f32."""
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    assert Z % 128 == 0 and Y % 8 == 0 and Y2 % 16 == 0
+    B = _rows(X, Y, Z, Y * Z * 4 * 10)
+    if B is None:
+        return None
+    nblk = X // B
+    u = np.zeros((Y, 2 * Y2), np.float32)
+    u[2 * np.arange(Y2), np.arange(Y2)] = 1.0
+    u[2 * np.arange(Y2) + 1, Y2 + np.arange(Y2)] = 1.0
+    u = jnp.asarray(u, in_dtype)
+
+    def kernel(r_ref, b_ref, v_ref, u_ref, o_ref):
+        x0 = pl.program_id(0) * B
+        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
+        for i in range(B):
+            r, b = r_ref[i], b_ref[i]
+            q1 = ((x0 + i + iz) % 2) == 1
+            s = jnp.concatenate(
+                [jnp.where(q1, b, r), jnp.where(q1, r, b)], axis=0
+            )
+            e = jnp.dot(u_ref[:], s, preferred_element_type=jnp.float32)
+            o_ref[i] = v_ref[i] + e.astype(dtype)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y2, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+            pl.BlockSpec((Y, 2 * Y2), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, Y, Z), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y, Z), dtype),
+        interpret=interpret,
+    )
+    return lambda r, b, v: call(r, b, v, u)
+
+
+def plan_defect_relax(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    interpret=False,
+    inner_dtype=jnp.bfloat16,
+):
+    """relax(v, f, nsweeps) via bf16 defect-correction, or None.
+
+    Engages only where the f32 planner would pick a slab kernel (VMEM-
+    resident levels do all sweeps in one HBM round trip already — defect
+    correction would only ADD the residual/fold passes there)."""
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return None
+    if not (
+        geom.wrap
+        and geom.ndim == 3
+        and hasattr(problem, "split_update")
+        and hasattr(problem, "kernel_operator")
+    ):
+        return None
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    if Z % 128 or Y % 8 or Y2 % 16 or X % 2:
+        return None
+    # slab-tier levels only (mirrors plan_relax's resident gate, including
+    # the merged-resident path for sub-lane Z — excluded here via Z % 128)
+    if (
+        relax_mod.tile_padded_bytes(geom.padded_shape) * 7
+        <= relax_mod.RESIDENT_VMEM_BUDGET
+    ):
+        return None
+    # the inner smoother stores bf16 but computes f32 (measured on v5e:
+    # bf16 elementwise arithmetic is ~2x slower per op than f32, which
+    # erased the traffic win) — so the VMEM cost model is the f32
+    # kernel's (the sweep temps are f32), and the bf16 buffers come on
+    # top at half an f32 array each.
+    T = relax_mod.SPLIT_SWEEPS_PER_CALL
+    half_plane = Y2 * Z * 4
+    inner = None
+    for B in (16, 8, 4):
+        ext = B + 4 * T
+        if X < ext or X % B:
+            continue
+        if half_plane * 14 * (ext + 1) <= relax_mod.SLAB_VMEM_BUDGET:
+            inner = relax_mod.make_split_slab_relax(
+                problem,
+                geom,
+                inner_dtype,
+                B,
+                sweeps_per_call=T,
+                interpret=interpret,
+                raw=True,
+                compute_dtype=jnp.float32,
+            )
+            break
+    if inner is None:
+        return None
+    rsplit = make_residual_split(
+        problem, geom, dtype, inner_dtype, interpret
+    )
+    fold = make_merge_fold(geom, inner_dtype, dtype, interpret)
+    if rsplit is None or fold is None:
+        return None
+    zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)
+
+    def relax(v, f, nsweeps: int):
+        rr, rb = rsplit(v, f)
+        er, eb = inner(zero(), zero(), rr, rb, nsweeps)
+        return fold(er, eb, v)
+
+    return relax

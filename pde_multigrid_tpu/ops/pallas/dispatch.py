@@ -21,12 +21,33 @@ class PallasKernels(JnpKernels):
     """jnp tier with per-level fused Pallas relaxation and fused
     inter-grid transfer kernels (residual+restrict, prolong+blend)."""
 
-    def __init__(self, problem, geoms, dtype, interpret: bool, cycle=None):
+    def __init__(
+        self,
+        problem,
+        geoms,
+        dtype,
+        interpret: bool,
+        cycle=None,
+        mixed: bool = False,
+    ):
         super().__init__(problem, geoms)
         self._relax_fns = [
             relax_mod.plan_relax(problem, g, dtype, interpret=interpret)
             for g in geoms
         ]
+        # mixed precision: bf16 defect-correction smoothing for the
+        # HBM-bound (slab-tier) levels; engages per relax leg when the
+        # sweep count amortizes the extra f32 residual/fold passes
+        self._defect_fns = [None] * len(geoms)
+        if mixed:
+            from pde_multigrid_tpu.ops.pallas import defect as defect_mod
+
+            self._defect_fns = [
+                defect_mod.plan_defect_relax(
+                    problem, g, dtype, interpret=interpret
+                )
+                for g in geoms
+            ]
         from pde_multigrid_tpu.ops.pallas import subtree as subtree_mod
 
         self._sub_v, self._sub_c = subtree_mod.plan_fused_cycles(
@@ -69,6 +90,9 @@ class PallasKernels(JnpKernels):
                 )
 
     def relax(self, l, v, f, aux, nsweeps):
+        dfn = self._defect_fns[l]
+        if dfn is not None and nsweeps >= _defect_min_sweeps():
+            return dfn(v, f, nsweeps)
         fn = self._relax_fns[l]
         if fn is None:
             return super().relax(l, v, f, aux, nsweeps)
@@ -108,6 +132,12 @@ class PallasKernels(JnpKernels):
         return None if fn is None else fn(coarse_v, base_v)
 
 
+def _defect_min_sweeps() -> int:
+    from pde_multigrid_tpu.ops.pallas import defect as defect_mod
+
+    return defect_mod.MIXED_MIN_SWEEPS
+
+
 def is_tpu_backend() -> bool:
     try:
         dev = jax.devices()[0]
@@ -116,13 +146,16 @@ def is_tpu_backend() -> bool:
     return "tpu" in (dev.platform + " " + dev.device_kind).lower()
 
 
-def make_kernels(problem, geoms, dtype=None, force=False, cycle=None):
+def make_kernels(
+    problem, geoms, dtype=None, force=False, cycle=None, precision="f32"
+):
     """Pallas kernel tier, or None.
 
     auto mode (force=False): only on real TPU backends — interpreter-mode
     Pallas on CPU is for tests, which request it explicitly via force.
     `cycle` (a CycleConfig) enables the fused coarse-subtree V-cycle
-    kernels, which bake in (nu1, nu2, mu)."""
+    kernels, which bake in (nu1, nu2, mu).  precision="mixed" enables
+    bf16 defect-correction smoothing (ops/pallas/defect.py)."""
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype or jnp.float32)
@@ -132,7 +165,12 @@ def make_kernels(problem, geoms, dtype=None, force=False, cycle=None):
     if not on_tpu and not force:
         return None
     k = PallasKernels(
-        problem, geoms, dtype, interpret=not on_tpu, cycle=cycle
+        problem,
+        geoms,
+        dtype,
+        interpret=not on_tpu,
+        cycle=cycle,
+        mixed=(precision == "mixed"),
     )
     if all(fn is None for fn in k._relax_fns):
         return None

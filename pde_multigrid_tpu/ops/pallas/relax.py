@@ -841,6 +841,7 @@ def make_split_slab_relax(
     sweeps_per_call: int = 1,
     interpret=False,
     raw: bool = False,
+    compute_dtype=None,
 ):
     """Double-buffered slab relaxation on COLOR-SPLIT storage (3D, wrap).
 
@@ -867,12 +868,21 @@ def make_split_slab_relax(
 
     Replaces the reference's CUDARelax (MultiGrid3D.cu:609-675) for the
     3D Poisson family at ~half the arithmetic per sweep.
+
+    compute_dtype decouples the HBM/VMEM storage word from the sweep
+    arithmetic: with dtype=bf16 + compute_dtype=f32 the slabs stream at
+    half the f32 traffic but the sweeps run as f32 vector ops — measured
+    on v5e, bf16 *arithmetic* is ~2x slower per op than f32 (each bf16
+    elementwise op pays pack/unpack), so casting at the slab boundary
+    keeps the kernel at the halved read roofline (defect.py's inner
+    smoother).
     """
     assert geom.wrap and geom.ndim == 3
     X, Y, Z = geom.padded_shape
     Y2 = Y // 2
     B = slab_rows
     T = sweeps_per_call
+    cdt = jnp.dtype(compute_dtype or dtype)
     halo = 2 * T
     ext = B + 2 * halo
     assert B % 2 == 0 and X % 2 == 0 and X >= ext and X % B == 0
@@ -945,10 +955,10 @@ def make_split_slab_relax(
         ok_z = iz >= 1
         mr_ref[:] = jnp.broadcast_to(
             ((jj >= 1) | q1) & ok_z, lshape
-        ).astype(dtype)
+        ).astype(cdt)
         mb_ref[:] = jnp.broadcast_to(
             ((jj >= 1) | ~q1) & ok_z, lshape
-        ).astype(dtype)
+        ).astype(cdt)
 
         def roll(a, ax, off):
             return jnp.roll(a, -off, axis=ax)
@@ -971,11 +981,11 @@ def make_split_slab_relax(
                 d.wait()
             s = start_of(p)
             g = s + lax.broadcasted_iota(jnp.int32, (loc, 1, 1), 0)
-            rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
+            rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(cdt)
             m_r = mr_ref[:] * rv_x
             m_b = mb_ref[:] * rv_x
-            r, b = rvb[slot], bvb[slot]
-            fr, fb = rfb[slot], bfb[slot]
+            r, b = rvb[slot].astype(cdt), bvb[slot].astype(cdt)
+            fr, fb = rfb[slot].astype(cdt), bfb[slot].astype(cdt)
 
             def one_sweep(_, rb):
                 r, b = rb
@@ -1001,8 +1011,8 @@ def make_split_slab_relax(
                 r, b = one_sweep(0, (r, b))
             else:
                 r, b = lax.fori_loop(0, nsweeps_here, one_sweep, (r, b))
-            rvb[slot, :ext] = r[:ext]
-            bvb[slot, :ext] = b[:ext]
+            rvb[slot, :ext] = r[:ext].astype(dtype)
+            bvb[slot, :ext] = b[:ext].astype(dtype)
             for d in out_dmas(slot, p):
                 d.start()
             return 0
@@ -1032,19 +1042,17 @@ def make_split_slab_relax(
                 pltpu.VMEM((2, loc) + tail, dtype),
                 pltpu.VMEM((2, loc) + tail, dtype),
                 pltpu.VMEM((2, loc) + tail, dtype),
-                pltpu.VMEM((loc,) + tail, dtype),
-                pltpu.VMEM((loc,) + tail, dtype),
+                pltpu.VMEM((loc,) + tail, cdt),
+                pltpu.VMEM((loc,) + tail, cdt),
                 pltpu.SemaphoreType.DMA((2, 4)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             interpret=interpret,
         )
 
-    csplit, cmerge = make_color_converters(geom, dtype, interpret)
-
-    def relax(v, f, nsweeps: int):
-        r, b = csplit(v)
-        fr, fb = csplit(f)
+    def relax_raw(r, b, fr, fb, nsweeps: int):
+        """Sweep already-color-split (X, Y/2, Z) arrays (defect.py feeds
+        this with bf16 error/residual halves)."""
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T)
@@ -1059,6 +1067,17 @@ def make_split_slab_relax(
                 )
         if rem:
             r, b = build(rem)(r, b, fr, fb)
+        return r, b
+
+    if raw:
+        return relax_raw
+
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
+    def relax(v, f, nsweeps: int):
+        r, b = csplit(v)
+        fr, fb = csplit(f)
+        r, b = relax_raw(r, b, fr, fb, nsweeps)
         return cmerge(r, b)
 
     return relax
@@ -1075,6 +1094,8 @@ def make_split_slab_relax_2d(
     block_j: int,
     sweeps_per_call: int = 1,
     interpret=False,
+    raw: bool = False,
+    compute_dtype=None,
 ):
     """Split-color slab relaxation blocked along BOTH x and y (3D, wrap).
 
@@ -1101,12 +1122,17 @@ def make_split_slab_relax_2d(
     Bx = slab_rows
     Bj = block_j
     T = sweeps_per_call
-    assert 1 <= T <= 4, "j-halo of 8 covers at most 4 trapezoidal sweeps"
+    cdt = jnp.dtype(compute_dtype or dtype)
+    # sublane (j) DMA offsets must be tile-aligned: 8 rows for f32,
+    # 16 for bf16 storage — which also sets the j halo (>= 2T rows of
+    # trapezoidal correctness margin)
+    sub = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    assert 1 <= T <= sub // 2, "j-halo covers at most sub/2 sweeps"
     halo_x = 2 * T
-    HJ = 8
+    HJ = sub
     ext_x = Bx + 2 * halo_x
     assert Bx % 2 == 0 and X % 2 == 0 and X >= ext_x and X % Bx == 0
-    assert Bj % 8 == 0 and Y2 % Bj == 0 and Y2 >= Bj + 2 * HJ
+    assert Bj % sub == 0 and Y2 % Bj == 0 and Y2 >= Bj + 2 * HJ
     ext_j = Bj + 2 * HJ
     loc_x = ext_x + 1  # + appended always-zero x-wrap row
     loc_j = ext_j + 1  # + appended always-zero j-wrap row
@@ -1174,10 +1200,10 @@ def make_split_slab_relax_2d(
             ok_j = jj < ext_j
             mr_ref[:] = jnp.broadcast_to(
                 ((jglob >= 1) | q1) & ok_j & ok_z, lshape
-            ).astype(dtype)
+            ).astype(cdt)
             mb_ref[:] = jnp.broadcast_to(
                 ((jglob >= 1) | ~q1) & ok_j & ok_z, lshape
-            ).astype(dtype)
+            ).astype(cdt)
 
             def in_dmas(slot, p):
                 # Asymmetric per-array read halos (backward induction over
@@ -1245,11 +1271,11 @@ def make_split_slab_relax_2d(
                     d.wait()
                 s = start_of(p)
                 g = s + lax.broadcasted_iota(jnp.int32, (loc_x, 1, 1), 0)
-                rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
+                rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(cdt)
                 m_r = mr_ref[:] * rv_x
                 m_b = mb_ref[:] * rv_x
-                r, b = rvb[slot], bvb[slot]
-                fr, fb = rfb[slot], bfb[slot]
+                r, b = rvb[slot].astype(cdt), bvb[slot].astype(cdt)
+                fr, fb = rfb[slot].astype(cdt), bfb[slot].astype(cdt)
 
                 def one_sweep(_, rb):
                     r, b = rb
@@ -1273,8 +1299,8 @@ def make_split_slab_relax_2d(
                     r, b = one_sweep(0, (r, b))
                 else:
                     r, b = lax.fori_loop(0, nsweeps_here, one_sweep, (r, b))
-                rvb[slot, :ext_x, :ext_j] = r[:ext_x, :ext_j]
-                bvb[slot, :ext_x, :ext_j] = b[:ext_x, :ext_j]
+                rvb[slot, :ext_x, :ext_j] = r[:ext_x, :ext_j].astype(dtype)
+                bvb[slot, :ext_x, :ext_j] = b[:ext_x, :ext_j].astype(dtype)
                 for d in out_dmas(slot, p):
                     d.start()
                 return 0

@@ -44,7 +44,9 @@ class SolveResult:
     diverged: bool = False
 
 
-def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
+def _pick_kernels(
+    problem, geoms, backend: str, dtype, cycle: CycleConfig, precision="f32"
+):
     # the fused Pallas tier implements the reference smoother (RBGS);
     # jacobi/line smoothers run on the jnp tier
     if backend in ("auto", "pallas") and cycle.smoother == "rbgs":
@@ -56,6 +58,7 @@ def _pick_kernels(problem, geoms, backend: str, dtype, cycle: CycleConfig):
             dtype=dtype,
             force=(backend == "pallas"),
             cycle=cycle,
+            precision=precision,
         )
         if k is not None:
             return k
@@ -210,6 +213,7 @@ class MultigridSolver:
                 self.config.backend,
                 dtype,
                 self.config.cycle,
+                self.config.precision,
             )
         self.program = CycleProgram(
             problem, self.geoms, self.config.cycle, kernels

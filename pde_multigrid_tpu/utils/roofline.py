@@ -96,10 +96,15 @@ def cycle_traffic_model(
     nu2: int,
     mu: int = 1,
     dtype_size: int = 4,
+    precision: str = "f32",
 ):
     """Per-level relax-leg counts and traffic for a V/FMG schedule (the
     transfer ops add one ~3-array pass per instance — folded in as a
-    flat 10% overhead rather than op-by-op accounting)."""
+    flat 10% overhead rather than op-by-op accounting).
+
+    precision="mixed": slab-tier sweeps stream bf16 error/residual halves
+    (half the per-sweep bytes) plus ~5 f32 array passes per relax leg for
+    the residual-split and merge-fold kernels (ops/pallas/defect.py)."""
     nlev = len(geoms)
     legs = [0] * nlev
 
@@ -125,6 +130,13 @@ def cycle_traffic_model(
         nu = (nu1 + nu2) // 2 or 1
         t = relax_traffic(g, nu, dtype_size)
         t = dataclasses.replace(t, level=l, sweeps=legs[l] * nu)
+        if precision == "mixed" and not t.resident and nu >= 8:
+            per_leg_extra = 5.0 * t.stored_points * dtype_size
+            t = dataclasses.replace(
+                t,
+                bytes_per_sweep=t.bytes_per_sweep / 2
+                + per_leg_extra / nu,
+            )
         rows.append(t)
         total_bytes += t.bytes_total
         total_updates += t.interior_points * t.sweeps

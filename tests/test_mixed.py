@@ -1,0 +1,119 @@
+"""Mixed-precision defect-correction smoothing (ops/pallas/defect.py).
+
+The contract: relax_defect(v, f, nu) == relax_direct(v, f, nu) for any
+linear stationary smoother — exactly in exact arithmetic (both equal
+v* + M^nu (v - v*)), to bf16-of-the-error tolerance in mixed precision.
+The iterate stays f32, so the solver reaches the same fixed point.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pde_multigrid_tpu import (
+    CycleConfig,
+    MultigridSolver,
+    Poisson,
+    SolverConfig,
+)
+from pde_multigrid_tpu.grid import Hierarchy
+from pde_multigrid_tpu.ops import stencil
+from pde_multigrid_tpu.ops.pallas import defect as D
+
+RNG = np.random.default_rng(11)
+F32 = jnp.dtype("float32")
+
+
+def _wrap_level(n=129):
+    """Wrap-storage 3D level in the defect-path shape family —
+    (128, 128, 128) at n=129; wrap storage is lane-aligned only at
+    2^k >= 128 — with random interior data."""
+    prob = Poisson(3)
+    h = Hierarchy.build(
+        prob, n, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    lvl, geom = h.levels[0], h.geoms[0]
+    m = np.asarray(lvl.aux["m_int"])
+    v = jnp.asarray(
+        (RNG.standard_normal(geom.padded_shape) * m).astype(np.float32)
+    )
+    f = jnp.asarray(
+        (RNG.standard_normal(geom.padded_shape) * m).astype(np.float32)
+    )
+    return prob, lvl, geom, v, f
+
+
+def _jnp_relax(prob, lvl, geom, v, f, n):
+    return stencil.relax_rbgs(
+        lambda vv, ff: prob.relax_update(vv, ff, geom, lvl.aux),
+        v,
+        f,
+        lvl.aux["m_red"],
+        lvl.aux["m_black"],
+        n,
+    )
+
+
+def test_defect_relax_f32_inner_is_identity():
+    """With an f32 inner smoother the defect form is ALGEBRAICALLY the
+    same iteration — only float re-association separates it from the
+    direct sweeps (pins the residual/zero-init/fold wiring)."""
+    prob, lvl, geom, v, f = _wrap_level()
+    fn = D.plan_defect_relax(
+        prob, geom, F32, interpret=True, inner_dtype=jnp.float32
+    )
+    assert fn is not None
+    got = np.asarray(fn(v, f, 4))
+    want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 4))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_defect_relax_bf16_tracks_f32():
+    """bf16 error/residual carry perturbs the leg by O(eps_bf16) of the
+    CHANGE, not of the solution."""
+    prob, lvl, geom, v, f = _wrap_level()
+    fn = D.plan_defect_relax(prob, geom, F32, interpret=True)
+    assert fn is not None
+    got = np.asarray(fn(v, f, 6))
+    want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 6))
+    scale = np.max(np.abs(want - np.asarray(v)))  # ~ the error moved
+    assert np.max(np.abs(got - want)) < 0.02 * scale
+
+
+def test_defect_planner_gates():
+    prob = Poisson(3)
+    # resident-tier level (no lane padding, tiny): must NOT engage
+    h_small = Hierarchy.build(prob, 17, wrap=True)
+    assert D.plan_defect_relax(prob, h_small.geoms[0], F32) is None
+    # f64 outer: must not engage
+    h = Hierarchy.build(
+        prob, 65, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    assert (
+        D.plan_defect_relax(prob, h.geoms[0], jnp.dtype("float64"))
+        is None
+    )
+
+
+def test_mixed_solver_matches_f32_end_to_end():
+    """Full FMG with precision='mixed' (forced pallas tier, interpreter
+    mode on CPU): converges to the same discretization-accuracy solution
+    as the f32 run, with the defect path actually engaged."""
+    cy = CycleConfig("fmg", 1, 12, 12)
+    s_mixed = MultigridSolver(
+        Poisson(3),
+        129,
+        SolverConfig(cycle=cy, backend="pallas", precision="mixed"),
+    )
+    # the finest level must be on the bf16 defect path (guards against
+    # the gate silently disengaging after planner changes)
+    assert s_mixed.program.kernels._defect_fns[0] is not None
+    assert cy.nu1 >= D.MIXED_MIN_SWEEPS
+    s_f32 = MultigridSolver(
+        Poisson(3), 129, SolverConfig(cycle=cy, backend="pallas")
+    )
+    rm = s_mixed.solve()
+    rf = s_f32.solve()
+    h = 1.0 / 128
+    assert rm.error_linf < 50 * h * h
+    # same discrete solution to well below discretization error
+    assert abs(rm.error_linf - rf.error_linf) < 0.1 * rf.error_linf
