@@ -54,9 +54,24 @@ from pde_multigrid_tpu.grid import LevelGeometry
 from pde_multigrid_tpu.ops.pallas import relax as relax_mod
 
 # bf16 defect smoothing engages only when the leg's sweep savings cover
-# the two extra f32 passes (residual ~3 arrays, fold ~2.5 arrays ~= 5-6
-# f32-sweep-equivalents of traffic at 6 B/pt saved per sweep)
-MIXED_MIN_SWEEPS = 8
+# the per-leg fixed work (residual-split, fold, zero init).  MEASURED
+# breakeven on v5e is ~20 sweeps/leg (at 257^3 FMG nu=20 the defect path
+# was a wash end-to-end), so gate well above it.
+MIXED_MIN_SWEEPS = 32
+
+# trapezoidal sweeps per HBM round trip for the bf16 inner smoother —
+# independent of the f32 kernels' SPLIT_SWEEPS_PER_CALL: halving the
+# word size doubles the compute share, so the traffic/redundant-halo
+# trade sits elsewhere (A/B'd on hardware, scripts/ab_mixed.py)
+DEFECT_T = 1
+
+# OFF by default: at 257^3 the bf16 2D-blocked inner needs a 16-row j
+# halo (bf16 sublane DMA alignment) on VMEM-capped 16-row-owned blocks —
+# 3x redundant compute vs the f32 kernel's 1.5x, measured 14 ms/step
+# SLOWER end-to-end.  257^3-class levels therefore smooth in f32 at L0
+# while their 128^3-class coarse levels still take the full-plane
+# defect path.
+DEFECT_2D = False
 
 DEFECT_VMEM_BUDGET = 12 * 2**20
 
@@ -110,15 +125,20 @@ def make_residual_split(
         gz = lax.broadcasted_iota(jnp.int32, (B, Y, Z), 2)
         m = ((gx >= 1) & (gy >= 1) & (gz >= 1)).astype(dtype)
         r16 = (m * (f_ref[:] - Lv)).astype(out_dtype)
-        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
-        for i in range(B):
-            # picks of bf16 values, f32-accumulated: exact
-            s = jnp.dot(
-                pt_ref[:], r16[i], preferred_element_type=jnp.float32
-            ).astype(out_dtype)
-            q1 = ((x0 + i + iz) % 2) == 1
-            r_ref[i] = jnp.where(q1, s[Y2:], s[:Y2])
-            b_ref[i] = jnp.where(q1, s[:Y2], s[Y2:])
+        # one BATCHED pick-dot over the whole block (a per-row dot loop
+        # is MXU-latency-bound); picks of bf16 values, f32-accumulated:
+        # exact
+        s = jnp.einsum(
+            "ky,byz->bkz",
+            pt_ref[:],
+            r16,
+            preferred_element_type=jnp.float32,
+        ).astype(out_dtype)
+        bx = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 0) + x0
+        bz = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 2)
+        q1 = ((bx + bz) % 2) == 1
+        r_ref[:] = jnp.where(q1, s[:, Y2:], s[:, :Y2])
+        b_ref[:] = jnp.where(q1, s[:, :Y2], s[:, Y2:])
 
     call = pl.pallas_call(
         kernel,
@@ -165,15 +185,19 @@ def make_merge_fold(
 
     def kernel(r_ref, b_ref, v_ref, u_ref, o_ref):
         x0 = pl.program_id(0) * B
-        iz = lax.broadcasted_iota(jnp.int32, (Y2, Z), 1)
-        for i in range(B):
-            r, b = r_ref[i], b_ref[i]
-            q1 = ((x0 + i + iz) % 2) == 1
-            s = jnp.concatenate(
-                [jnp.where(q1, b, r), jnp.where(q1, r, b)], axis=0
-            )
-            e = jnp.dot(u_ref[:], s, preferred_element_type=jnp.float32)
-            o_ref[i] = v_ref[i] + e.astype(dtype)
+        bx = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 0) + x0
+        bz = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 2)
+        q1 = ((bx + bz) % 2) == 1
+        r, b = r_ref[:], b_ref[:]
+        s = jnp.concatenate(
+            [jnp.where(q1, b, r), jnp.where(q1, r, b)], axis=1
+        )
+        # one batched interleave-dot: exact widen of bf16 values with
+        # f32 accumulation; the fold add runs in f32
+        e = jnp.einsum(
+            "yk,bkz->byz", u_ref[:], s, preferred_element_type=jnp.float32
+        )
+        o_ref[:] = v_ref[:] + e.astype(dtype)
 
     call = pl.pallas_call(
         kernel,
@@ -228,7 +252,7 @@ def plan_defect_relax(
     # erased the traffic win) — so the VMEM cost model is the f32
     # kernel's (the sweep temps are f32), and the bf16 buffers come on
     # top at half an f32 array each.
-    T = relax_mod.SPLIT_SWEEPS_PER_CALL
+    T = DEFECT_T
     half_plane = Y2 * Z * 4
     inner = None
     for B in (16, 8, 4):
@@ -247,6 +271,35 @@ def plan_defect_relax(
                 compute_dtype=jnp.float32,
             )
             break
+    if inner is None and DEFECT_2D:
+        # 2D-blocked tier (whole half-planes bust VMEM: 257^3 and up).
+        # bf16 storage needs 16-aligned j blocks/halos; the VMEM model
+        # stays f32-costed (the sweep temps are f32 compute copies).
+        for B in (8, 4):
+            ext = B + 4 * T
+            if X % B or X < ext or (X - ext) % 2:
+                continue
+            for Bj in (64, 32, 16):
+                if Y2 % Bj or Y2 < Bj + 32 or Bj % 16:
+                    continue
+                unit = relax_mod.tile_padded_bytes(
+                    (ext + 1, Bj + 33, Z)
+                )
+                if unit * 14 <= relax_mod.SLAB_VMEM_BUDGET:
+                    inner = relax_mod.make_split_slab_relax_2d(
+                        problem,
+                        geom,
+                        inner_dtype,
+                        B,
+                        Bj,
+                        sweeps_per_call=T,
+                        interpret=interpret,
+                        raw=True,
+                        compute_dtype=jnp.float32,
+                    )
+                    break
+            if inner is not None:
+                break
     if inner is None:
         return None
     rsplit = make_residual_split(

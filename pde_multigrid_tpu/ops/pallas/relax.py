@@ -1332,19 +1332,15 @@ def make_split_slab_relax_2d(
                 pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
                 pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
                 pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
-                pltpu.VMEM((loc_x, loc_j, Z), dtype),
-                pltpu.VMEM((loc_x, loc_j, Z), dtype),
+                pltpu.VMEM((loc_x, loc_j, Z), cdt),
+                pltpu.VMEM((loc_x, loc_j, Z), cdt),
                 pltpu.SemaphoreType.DMA((2, 4)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             interpret=interpret,
         )
 
-    csplit, cmerge = make_color_converters(geom, dtype, interpret)
-
-    def relax(v, f, nsweeps: int):
-        r, b = csplit(v)
-        fr, fb = csplit(f)
+    def relax_raw(r, b, fr, fb, nsweeps: int):
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T)
@@ -1359,6 +1355,17 @@ def make_split_slab_relax_2d(
                 )
         if rem:
             r, b = build(rem)(r, b, fr, fb)
+        return r, b
+
+    if raw:
+        return relax_raw
+
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
+    def relax(v, f, nsweeps: int):
+        r, b = csplit(v)
+        fr, fb = csplit(f)
+        r, b = relax_raw(r, b, fr, fb, nsweeps)
         return cmerge(r, b)
 
     return relax

@@ -59,6 +59,16 @@ MERGED_ROOT_BUDGET = 14 * 2**20
 # lane-padded sub-lane form), converting at relax boundaries via the
 # exact double-dot terms of _lay_terms.  Module flag for A/B timing.
 MERGE_DEEP = True
+# additionally store the in-kernel sweeps COLOR-SPLIT ((X, Y2*Z/128,
+# 128) halves): every gathered neighbor is used, so each sweep does
+# half the dense masked update's arithmetic.  The dense<->split
+# conversions (exact pick dots through the unmerged layout) run once
+# per relax leg.  Measured on v5e at 129^3 FMG nu=100: a WASH — the
+# per-leg conversion chains cancel the halved sweep arithmetic
+# (interleaved deltas +0.6/-0.8 ms, scripts/ab_split_merged.py) — so
+# OFF by default; a direct merged->split-merged conversion (no unmerged
+# intermediate) is the known path to tip the balance.
+SPLIT_MERGED = False
 
 
 def _pad_bytes(shape) -> int:
@@ -152,6 +162,98 @@ def _merged_masks_and_shift(geom, dtype):
     return m_red, m_black, m_int, geom_shift
 
 
+def _split_masks_and_shift(geom, dtype):
+    """Color-split merged-layout ((X, Y2*Z/128, 128) view of the (X, Y/2,
+    Z) color halves) q-parity selector, per-color interior masks, and
+    flat shift, mirroring relax.make_split_merged_relax: with q =
+    (x + z) % 2, red points of row (x, z) sit at y = 2j + q, so red is
+    interior iff j >= 1 or q == 1 (and x, z interior), black likewise
+    with ~q."""
+    X, Y, Z = geom.padded_shape
+    M2 = ((Y // 2) * Z) // 128
+    zbits = Z.bit_length() - 1
+    shape = (X, M2, 128)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    flat = jax.lax.broadcasted_iota(jnp.int32, shape, 1) * 128 + lane
+    gx = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    gj = flat >> zbits
+    gz = flat & (Z - 1)
+    q1 = ((gx + gz) % 2) == 1
+    ok = (gx >= 1) & (gz >= 1)
+    m_r = (((gj >= 1) | q1) & ok).astype(dtype)
+    m_b = (((gj >= 1) | ~q1) & ok).astype(dtype)
+
+    def fshift(a, s: int):
+        b = jnp.roll(a, -s, axis=2)
+
+        def carry(x, d):
+            # M2 == 1: the row carry is the identity (a zero-size slice
+            # Mosaic rejects)
+            return x if M2 == 1 else jnp.roll(x, d, axis=1)
+
+        if s > 0:
+            return jnp.where(lane < 128 - s, b, carry(b, -1))
+        return jnp.where(lane >= -s, b, carry(b, 1))
+
+    return q1, m_r, m_b, fshift
+
+
+def _split_sweeps(problem, geom, rm, bm, frm, fbm, ns, dtype):
+    """ns red-black sweeps on color-split merged-layout halves — the same
+    update order as the dense masked sweeps (red reads black, black reads
+    the updated red), at half the arithmetic.  Wrap-correct with the full
+    halves resident: x-rolls wrap onto the dense x=0 boundary plane,
+    z-carries land on the dense z=0 plane, j-wraps on dense y<=1 rows
+    whose reads are boundary values by the q-parity case split (see
+    relax.make_split_merged_relax)."""
+    Z = geom.padded_shape[2]
+    q1, m_r, m_b, fshift = _split_masks_and_shift(geom, dtype)
+
+    def one(_, rb):
+        r, b = rb
+        pairs = (
+            jnp.roll(b, 1, axis=0) + jnp.roll(b, -1, axis=0),
+            b + jnp.where(q1, fshift(b, Z), fshift(b, -Z)),
+            fshift(b, -1) + fshift(b, 1),
+        )
+        r = r + m_r * (problem.split_update(pairs, frm, geom) - r)
+        pairs = (
+            jnp.roll(r, 1, axis=0) + jnp.roll(r, -1, axis=0),
+            r + jnp.where(q1, fshift(r, -Z), fshift(r, Z)),
+            fshift(r, -1) + fshift(r, 1),
+        )
+        b = b + m_b * (problem.split_update(pairs, fbm, geom) - b)
+        return r, b
+
+    if ns == 1:
+        return one(0, (rm, bm))
+    return jax.lax.fori_loop(0, ns, one, (rm, bm))
+
+
+def _par_terms(Y: int):
+    """Iota-built y-parity pick/scatter matrices: A0/A1 (Y2, Y) extract
+    y = 2j / 2j+1; E0/E1 (Y, Y2) scatter them back."""
+    Y2 = Y // 2
+    ji, yi = _iota2((Y2, Y))
+    A0 = _f32(yi == 2 * ji)
+    A1 = _f32(yi == 2 * ji + 1)
+    yi2, ji2 = _iota2((Y, Y2))
+    E0 = _f32(yi2 == 2 * ji2)
+    E1 = _f32(yi2 == 2 * ji2 + 1)
+    return A0, A1, E0, E1
+
+
+def _can_split_merge(problem, geom) -> bool:
+    X, Y, Z = geom.padded_shape
+    return (
+        SPLIT_MERGED
+        and _can_merge(problem, geom)
+        and hasattr(problem, "split_update")
+        and Y % 2 == 0
+        and ((Y // 2) * Z) % 128 == 0
+    )
+
+
 def _can_merge(problem, geom) -> bool:
     """Level can be held in the merged (X, Y*Z/128, 128) layout in-kernel
     (zero or reduced tile waste vs the 4-8x of lane-padded sub-lane
@@ -195,7 +297,13 @@ def _lay_terms(geom):
     with A_j (Y, M) picking y = K*m + j and B_j (Z, 128) picking lanes
     l = j*Z + z (At/Bt built directly — a transpose of a traced 2D value
     changes the lane extent, which Mosaic rejects)."""
-    X, Y, Z = geom.padded_shape
+    _, Y, Z = geom.padded_shape
+    return _lay_terms_yz(Y, Z)
+
+
+def _lay_terms_yz(Y: int, Z: int):
+    """_lay_terms for an explicit (Y, Z) tail shape — also used for the
+    (Y/2, Z) color halves of the split-merged sweeps."""
     K = 128 // Z
     M = (Y * Z) // 128
     terms = []
@@ -270,6 +378,11 @@ def _build(
         MERGE_DEEP and k > 0 and _can_merge(problem, geoms[k])
         for k in range(K)
     ]
+    deep_split = [
+        deep_merged[k] and _can_split_merge(problem, geoms[k])
+        for k in range(K)
+    ]
+    root_split = root_merged and _can_split_merge(problem, geoms[0])
 
     def roll(a, ax, off):
         return jnp.roll(a, -off, axis=ax)
@@ -289,26 +402,72 @@ def _build(
             g = geoms[k]
             return R._coords_and_masks(problem, g, g.padded_shape, 0, dtype)
 
-        def to_m(k, a):
-            """Unmerged (X, Y, Z) value -> merged (X, M, 128)."""
+        def to_m_yz(Y, Z, a):
+            """Unmerged (X, Y, Z) value -> merged (X, Y*Z/128, 128)."""
             out = 0.0
-            for _, At, B, _ in _lay_terms(geoms[k]):
+            for _, At, B, _ in _lay_terms_yz(Y, Z):
                 t = _xeinsum("my,xyz->xmz", At, a)
                 out = out + _xeinsum("zl,xmz->xml", B, t)
             return out
 
-        def to_u(k, a):
-            """Merged (X, M, 128) value -> unmerged (X, Y, Z).  Lanes are
-            contracted FIRST so every intermediate is the small (X, M, Z)
-            shape (contracting y first materializes (X, Y, 128) temps,
-            which blew the scoped-VMEM stack at the 64^3 merged root)."""
+        def to_u_yz(Y, Z, a):
+            """Merged value -> unmerged (X, Y, Z).  Lanes are contracted
+            FIRST so every intermediate is the small (X, M, Z) shape
+            (contracting y first materializes (X, Y, 128) temps, which
+            blew the scoped-VMEM stack at the 64^3 merged root)."""
             out = 0.0
-            for A, _, _, Bt in _lay_terms(geoms[k]):
+            for A, _, _, Bt in _lay_terms_yz(Y, Z):
                 t = _xeinsum("lz,xml->xmz", Bt, a)
                 out = out + _xeinsum("ym,xmz->xyz", A, t)
             return out
 
+        def to_m(k, a):
+            _, Y, Z = geoms[k].padded_shape
+            return to_m_yz(Y, Z, a)
+
+        def to_u(k, a):
+            _, Y, Z = geoms[k].padded_shape
+            return to_u_yz(Y, Z, a)
+
+        def relax_split(k, v, f, ns):
+            """Sweeps on color-split merged halves: half the dense masked
+            update's arithmetic; the exact pick-dot conversions run once
+            per leg.  Same update order (red, then black reading the
+            updated red) as the dense path — results differ only by the
+            conversions' (exact) dots, i.e. not at all."""
+            g = geoms[k]
+            X, Y, Z = g.padded_shape
+            Y2 = Y // 2
+            A0, A1, E0, E1 = _par_terms(Y)
+            ix = jax.lax.broadcasted_iota(jnp.int32, (X, 1, Z), 0)
+            iz = jax.lax.broadcasted_iota(jnp.int32, (X, 1, Z), 2)
+            qu = ((ix + iz) % 2) == 1
+
+            def split(a):
+                s0 = _xeinsum("jy,xyz->xjz", A0, a)
+                s1 = _xeinsum("jy,xyz->xjz", A1, a)
+                return jnp.where(qu, s1, s0), jnp.where(qu, s0, s1)
+
+            r, b = split(v)
+            fr, fb = split(f)
+            rm, bm = _split_sweeps(
+                problem,
+                g,
+                to_m_yz(Y2, Z, r),
+                to_m_yz(Y2, Z, b),
+                to_m_yz(Y2, Z, fr),
+                to_m_yz(Y2, Z, fb),
+                ns,
+                dtype,
+            )
+            r, b = to_u_yz(Y2, Z, rm), to_u_yz(Y2, Z, bm)
+            return _xeinsum(
+                "yj,xjz->xyz", E0, jnp.where(qu, b, r)
+            ) + _xeinsum("yj,xjz->xyz", E1, jnp.where(qu, r, b))
+
         def relax(k, v, f, ns):
+            if deep_split[k]:
+                return relax_split(k, v, f, ns)
             if deep_merged[k]:
                 # sweeps in the merged layout (tile-waste-free VPU work);
                 # the conversions amortize over the ns sweeps
@@ -390,6 +549,11 @@ def _build(
             # merged masks and the lane iota are likewise rebuilt at each
             # use site to keep their live ranges short
             def relax_root(vm, fm, ns):
+                if root_split:
+                    # through the unmerged layout to color-split halves
+                    # once per leg; sweeps at half the dense arithmetic
+                    u = relax_split(0, to_u(0, vm), to_u(0, fm), ns)
+                    return to_m(0, u)
                 mr_m, mb_m, _, gshift = _merged_masks_and_shift(
                     geoms[0], dtype
                 )
@@ -461,12 +625,21 @@ def _build(
     kshape = (
         (X0, (Y0 * Z0) // 128, 128) if root_merged else (X0, Y0, Z0)
     )
+    # the split-merged root's per-leg layout conversions peak ~2.4MB over
+    # the default 16MB scoped-vmem stack; this kernel is whole-level
+    # resident (no grid pipelining to starve), so raise the limit
+    params = (
+        pltpu.CompilerParams(vmem_limit_bytes=28 * 2**20)
+        if root_merged and root_split
+        else None
+    )
     call = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(kshape, dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
         * (2 + len(flat_mats)),
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        compiler_params=params,
         interpret=interpret,
     )
 

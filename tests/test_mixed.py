@@ -18,6 +18,7 @@ from pde_multigrid_tpu import (
 from pde_multigrid_tpu.grid import Hierarchy
 from pde_multigrid_tpu.ops import stencil
 from pde_multigrid_tpu.ops.pallas import defect as D
+from pde_multigrid_tpu.ops.pallas import relax as R
 
 RNG = np.random.default_rng(11)
 F32 = jnp.dtype("float32")
@@ -98,7 +99,7 @@ def test_mixed_solver_matches_f32_end_to_end():
     """Full FMG with precision='mixed' (forced pallas tier, interpreter
     mode on CPU): converges to the same discretization-accuracy solution
     as the f32 run, with the defect path actually engaged."""
-    cy = CycleConfig("fmg", 1, 12, 12)
+    cy = CycleConfig("fmg", 1, 32, 32)
     s_mixed = MultigridSolver(
         Poisson(3),
         129,
@@ -117,3 +118,52 @@ def test_mixed_solver_matches_f32_end_to_end():
     assert rm.error_linf < 50 * h * h
     # same discrete solution to well below discretization error
     assert abs(rm.error_linf - rf.error_linf) < 0.1 * rf.error_linf
+
+
+def test_2d_blocked_bf16_inner_tracks_f32():
+    """The 257^3-class inner tier (2D-blocked split slab, bf16 storage +
+    f32 compute) follows the dense f32 sweeps to bf16-store tolerance."""
+    prob, lvl, geom, v, f = _wrap_level()
+    B16 = jnp.bfloat16
+    fn = R.make_split_slab_relax_2d(
+        prob,
+        geom,
+        B16,
+        8,
+        16,
+        sweeps_per_call=1,
+        interpret=True,
+        raw=True,
+        compute_dtype=jnp.float32,
+    )
+    qb = R._split_qmask(*[geom.padded_shape[i] for i in (0, 2)])
+    r, b = (a.astype(B16) for a in R.split_colors(v, qb))
+    fr, fb = (a.astype(B16) for a in R.split_colors(f, qb))
+    ro, bo = fn(r, b, fr, fb, 2)
+    got = np.asarray(
+        R.merge_colors(
+            ro.astype(jnp.float32), bo.astype(jnp.float32), qb
+        )
+    )
+    want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 2))
+    # direct smoothing of bf16-stored v: error ~ eps_bf16 * |v| per store
+    assert np.max(np.abs(got - want)) < 0.02 * np.max(np.abs(want))
+
+
+def test_defect_planner_covers_257_class():
+    """plan_defect_relax must find the 2D-blocked inner once whole
+    half-planes bust VMEM (the 257^3 tier) when DEFECT_2D is on, and
+    stay f32 when it is off (measured slower, see defect.DEFECT_2D) —
+    planning only, no compile."""
+    prob = Poisson(3)
+    h = Hierarchy.build(
+        prob, 257, pad_last_to=128, pad_sublane_to=8, wrap=True
+    )
+    assert h.geoms[0].padded_shape == (256, 256, 256)
+    assert D.plan_defect_relax(prob, h.geoms[0], F32, interpret=True) is None
+    D.DEFECT_2D = True
+    try:
+        fn = D.plan_defect_relax(prob, h.geoms[0], F32, interpret=True)
+    finally:
+        D.DEFECT_2D = False
+    assert fn is not None

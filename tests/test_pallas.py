@@ -195,6 +195,19 @@ def test_fused_subtree_vcycle_matches_jnp():
     got_m = np.asarray(fn_m(v64, l64[0].f))
     np.testing.assert_allclose(got_m, want64, rtol=3e-5, atol=3e-6)
 
+    # color-split in-kernel sweeps (subtree.SPLIT_MERGED, off by default
+    # — measured a wash on v5e — but kept correct): same contract
+    try:
+        subtree.SPLIT_MERGED = True
+        fn_s = subtree._build(
+            prob, h64.geoms, F32, cfg.nu1, cfg.nu2, cfg.mu,
+            True, True, root_merged=True,
+        )
+    finally:
+        subtree.SPLIT_MERGED = False
+    got_s = np.asarray(fn_s(v64, l64[0].f))
+    np.testing.assert_allclose(got_s, want64, rtol=3e-5, atol=3e-6)
+
     aux = levels[0].aux
     v1 = stencil.relax_rbgs(
         lambda vv, ff: prob.relax_update(vv, ff, h.geoms[0], aux),
