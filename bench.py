@@ -58,13 +58,17 @@ def interior_points(shape):
     return out
 
 
-def count_smoother_updates(shapes, kind, nu0, nu1, nu2, mu=1):
+def count_smoother_updates(shapes, kind, nu0, nu1, nu2, mu=1, coarsest="relax"):
     """Exact interior-point update count for the cycle schedule (matches
-    cycles.CycleProgram structure)."""
+    cycles.CycleProgram structure).  coarsest='exact' performs ZERO
+    smoother updates at the coarsest level (fast-diagonalization direct
+    solve) — counted as such so the DOF-updates/s metric stays honest."""
     nlev = len(shapes)
     I = [interior_points(s) for s in shapes]
 
     def vcycle(l):
+        if coarsest == "exact" and l == nlev - 1:
+            return 0
         u = (nu1 + nu2) * I[l]
         if l < nlev - 1:
             u += mu * vcycle(l + 1)
@@ -109,6 +113,14 @@ def main():
         "slab-tier levels; converges to the same f32 fixed point (the "
         "convergence assert below holds either way)",
     )
+    ap.add_argument(
+        "--coarsest",
+        choices=["relax", "exact", "auto"],
+        default="auto",
+        help="coarsest-level solver; auto = fast-diagonalization exact "
+        "solve where the problem supports it (poisson3d), reference "
+        "relax sweeps otherwise",
+    )
     ap.add_argument("--pad-last", type=int, default=0,
                     help="pad last axis to this multiple (0 = auto)")
     args = ap.parse_args()
@@ -133,8 +145,13 @@ def main():
         "lyapunov2d": Lyapunov2D,
     }[args.problem]()
 
+    coarsest = args.coarsest
+    if coarsest == "auto":
+        coarsest = "exact" if args.problem == "poisson3d" else "relax"
     cfg = SolverConfig(
-        cycle=CycleConfig("fmg", args.nu0, args.nu, args.nu),
+        cycle=CycleConfig(
+            "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest
+        ),
         backend=args.backend,
         precision=args.precision,
         pad_last_to=args.pad_last,
@@ -179,7 +196,8 @@ def main():
 
     c = solver.config.cycle
     updates = count_smoother_updates(
-        [g.shape for g in solver.geoms], "fmg", c.nu0, c.nu1, c.nu2, c.mu
+        [g.shape for g in solver.geoms], "fmg", c.nu0, c.nu1, c.nu2, c.mu,
+        coarsest=c.coarsest,
     )
     ups = updates / per_step
 

@@ -107,6 +107,13 @@ def main(argv=None):
         choices=["rediscretize", "galerkin"],
         default="rediscretize",
     )
+    ap.add_argument(
+        "--coarsest",
+        choices=["relax", "exact"],
+        default="relax",
+        help="coarsest-level solver: reference nu1+nu2 sweeps, or the "
+        "fast-diagonalization direct solve (truncates the hierarchy)",
+    )
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--backend", default="auto", help="auto | jnp | pallas")
     ap.add_argument(
@@ -146,6 +153,7 @@ def main(argv=None):
             omega=args.omega,
             coarse_operator=args.coarse_operator,
             scheme=args.scheme,
+            coarsest=args.coarsest,
         ),
         dtype=args.dtype,
         backend=args.backend,

@@ -42,6 +42,12 @@ class CycleConfig:
     # for nonlinear operators such as the HJB problem, thesis §3.3;
     # equivalent to "cs" for linear operators)
     scheme: str = "cs"
+    # coarsest-level solver: "relax" (reference semantics — nu1+nu2
+    # sweeps, MultiGrid1D.cpp:150-175) or "exact" (fast-diagonalization
+    # direct solve, ops/fastdiag.py — separable wrap-storage problems;
+    # pair with SolverConfig.num_levels to truncate the hierarchy at a
+    # coarsest level worth solving exactly)
+    coarsest: str = "relax"
 
     def __post_init__(self):
         if self.kind not in ("v", "w", "fmg"):
@@ -60,6 +66,18 @@ class CycleConfig:
             )
         if self.scheme not in ("cs", "fas"):
             raise ValueError(f"unknown scheme {self.scheme!r}")
+        if self.coarsest not in ("relax", "exact"):
+            raise ValueError(f"unknown coarsest {self.coarsest!r}")
+        if self.coarsest == "exact" and self.scheme == "fas":
+            raise ValueError(
+                "coarsest='exact' is a linear direct solve; FAS needs "
+                "the nonlinear relax recursion"
+            )
+        if self.coarsest == "exact" and self.coarse_operator == "galerkin":
+            raise ValueError(
+                "coarsest='exact' diagonalizes the rediscretized "
+                "separable operator, not a Galerkin coarse operator"
+            )
         if self.scheme == "fas" and self.coarse_operator == "galerkin":
             raise ValueError(
                 "FAS re-evaluates the nonlinear operator per level; "

@@ -139,8 +139,24 @@ class CycleProgram:
         self.kernels = kernels or JnpKernels(
             problem, geoms, config.smoother, config.omega
         )
+        self._coarse_solvers: list[Any] = [None] * len(self.geoms)
 
     # -- building blocks ---------------------------------------------------
+
+    def _coarse_solve(self, l: int):
+        if self._coarse_solvers[l] is None:
+            from pde_multigrid_tpu.ops import fastdiag
+
+            fn = fastdiag.make_fastdiag_solve(
+                self.problem, self.geoms[l]
+            )
+            if fn is None:
+                raise ValueError(
+                    "coarsest='exact' needs a wrap-storage separable "
+                    f"problem; {self.problem.name} at level {l} is not"
+                )
+            self._coarse_solvers[l] = fn
+        return self._coarse_solvers[l]
 
     def _fused(self, name: str, *args):
         """Optional fused-kernel hook on the kernel tier; None selects the
@@ -159,6 +175,16 @@ class CycleProgram:
         if self.config.scheme == "fas":
             return self.fas_v_cycle(levels, l)
         cfg = self.config
+        if cfg.coarsest == "exact" and l == len(self.geoms) - 1:
+            # fast-diagonalization direct solve replaces the reference's
+            # nu1+nu2 coarsest sweeps (ops/fastdiag.py): strictly better
+            # coarse-grid correction, nu-independent cost.  The fused
+            # tier implements it in-kernel (subtree exact_coarse).
+            lvl = levels[l]
+            v = self._fused("fused_vcycle", l, lvl.v, lvl.f)
+            if v is None:
+                v = self._coarse_solve(l)(lvl.f)
+            return _set(levels, l, dataclasses.replace(lvl, v=v))
         # whole-subtree fused kernels (ops/pallas/subtree.py): deeper
         # levels are pure V-cycle temporaries in the correction scheme
         # (coarse v zeroed / coarse f overwritten before every use), so a

@@ -149,6 +149,12 @@ class Poisson(ProblemBase):
 
         return build
 
+    def separable_fastdiag(self, geom: LevelGeometry) -> bool:
+        """The (2d+1)-point Laplacian is a Kronecker sum of per-axis 1D
+        Dirichlet Laplacians — eligible for the fast-diagonalization
+        exact coarse solve (ops/fastdiag.py)."""
+        return True
+
     # -- Pallas kernel tier -------------------------------------------------
 
     def merged_update(self, v, f, shift, geom: LevelGeometry):

@@ -357,6 +357,7 @@ def _build(
     with_root_relax,
     interpret,
     root_merged=False,
+    coarsest_exact=False,
 ):
     """One fused kernel over `geoms` (root first).  with_root_relax=True
     fuses the complete V-cycle rooted at geoms[0]; False fuses only the
@@ -374,6 +375,37 @@ def _build(
     K = len(geoms)
     mats_np = _transfer_mats(geoms)
     flat_mats = [m for quad in mats_np for m in quad]
+    n_exact = 0
+    if coarsest_exact:
+        # fast-diagonalization coarsest solve in-kernel (ops/fastdiag.py
+        # semantics): per-axis Q / Q^T sine bases + the precomputed
+        # 1/lambda-sum field, all passed as operands (kernels cannot
+        # capture array constants).  The MXU rounds Q to bf16 per
+        # _xeinsum's data-side-only split — a ~0.4%-perturbed coarse
+        # SOLVE, which leaves the outer fixed point untouched (the
+        # residuals feeding it are exact) and costs ~nothing in
+        # convergence rate.
+        from pde_multigrid_tpu.ops import fastdiag
+
+        gm = geoms[-1]
+        axmats = fastdiag.padded_axis_mats(gm, np.float64)
+        lam_sum = 0.0
+        for ax, (_, lp) in enumerate(axmats):
+            shape = [1] * 3
+            shape[ax] = lp.shape[0]
+            lam_sum = lam_sum + lp.reshape(shape)
+        npdt = np.dtype(dtype)
+        inv = (
+            1.0 / np.where(lam_sum == 0, 1.0, lam_sum)
+        ).astype(npdt)
+        # numpy (literal-embedding) operands, like _transfer_mats
+        exact_mats = []
+        for Qp, _ in axmats:
+            exact_mats.append(Qp.astype(npdt))
+            exact_mats.append(Qp.T.copy().astype(npdt))
+        exact_mats.append(inv)
+        n_exact = len(exact_mats)
+        flat_mats = flat_mats + exact_mats
     deep_merged = [
         MERGE_DEEP and k > 0 and _can_merge(problem, geoms[k])
         for k in range(K)
@@ -390,11 +422,38 @@ def _build(
     def kernel(v_ref, f_ref, *rest):
         n_t = 4 * (K - 1)
         mat_refs = rest[:n_t]
-        (o_ref,) = rest[n_t:]
+        exact_refs = rest[n_t : n_t + n_exact]
+        (o_ref,) = rest[n_t + n_exact :]
         mats = [
             tuple(mat_refs[4 * k + i][:] for i in range(4))
             for k in range(K - 1)
         ]
+
+        def _xapply(m2d, a):
+            """out[a_, y, z] = sum_x m2d[a_, x] * a[x, y, z] — the
+            leading-axis contraction unrolled as broadcast multiply-adds
+            (Mosaic cannot shape-cast (X, Y, Z) -> (X, Y*Z) for a dot,
+            and leading-dim value slices/broadcasts are free).  Pure f32
+            VPU arithmetic — no MXU bf16 rounding on this axis."""
+            out = m2d[:, 0:1][:, :, None] * a[0][None]
+            for x in range(1, a.shape[0]):
+                out = out + m2d[:, x : x + 1][:, :, None] * a[x][None]
+            return out
+
+        def exact_coarse(f):
+            """v = Q diag(1/lam) Q^T f, per-axis contractions (the
+            spectral coefficients of the zero-padded boundary rows are
+            exactly zero, so the guarded inv entries never matter)."""
+            qs = [exact_refs[2 * ax][:] for ax in range(3)]
+            qts = [exact_refs[2 * ax + 1][:] for ax in range(3)]
+            inv_f = exact_refs[6][:]
+            g = _xapply(qts[0], f)
+            g = _xeinsum("by,ayz->abz", qts[1], g)
+            g = _xeinsum("cz,abz->abc", qts[2], g)
+            g = g * inv_f
+            g = _xapply(qs[0], g)
+            g = _xeinsum("yb,xbc->xyc", qs[1], g)
+            return _xeinsum("zc,xyc->xyz", qs[2], g)
         # masks/pre are recomputed at each use (pure iota math): hoisting
         # them keeps every level's three mask arrays live across the
         # whole kernel and blows the scoped-VMEM stack budget
@@ -539,6 +598,8 @@ def _build(
             return v + m_int(k) * prolong(k, cv)
 
         def vcyc(k, v, f):
+            if coarsest_exact and k == K - 1:
+                return exact_coarse(f)
             v = relax(k, v, f, nu1)
             if k < K - 1:
                 v = correction(k, v, f)
@@ -767,6 +828,16 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
     cfns: list = [None] * n
     if cycle is None or cycle.smoother != "rbgs" or cycle.scheme != "cs":
         return vfns, cfns
+    exact = getattr(cycle, "coarsest", "relax") == "exact"
+    if exact and not (
+        geoms[-1].wrap
+        and geoms[-1].ndim == 3
+        and getattr(problem, "separable_fastdiag", lambda g: False)(
+            geoms[-1]
+        )
+    ):
+        # the jnp tier will raise a config error; no fused kernels here
+        return vfns, cfns
     for l in range(n - 1, -1, -1):
         sub = geoms[l:]
         if not _subtree_ok(problem, sub):
@@ -778,7 +849,7 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
         if 8 * (root + deeper) <= FUSED_VMEM_BUDGET:
             vfns[l] = _build(
                 problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
-                True, interpret,
+                True, interpret, coarsest_exact=exact,
             )
         elif (
             _can_merge(problem, sub[0])
@@ -793,13 +864,13 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
             # layouts, via exact double-dot terms)
             vfns[l] = _build(
                 problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
-                True, interpret, root_merged=True,
+                True, interpret, root_merged=True, coarsest_exact=exact,
             )
         elif l + 1 < n and vfns[l + 1] is not None and (
             4 * root + 8 * deeper <= CORR_VMEM_BUDGET
         ):
             cfns[l] = _build(
                 problem, sub, dtype, cycle.nu1, cycle.nu2, cycle.mu,
-                False, interpret,
+                False, interpret, coarsest_exact=exact,
             )
     return vfns, cfns

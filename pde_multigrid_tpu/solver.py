@@ -155,10 +155,24 @@ class MultigridSolver:
                 raise ValueError(
                     "storage='wrap' requires homogeneous Dirichlet data"
                 )
+        # coarsest='exact' (fast diagonalization) makes deep recursion
+        # pointless: truncate the hierarchy four doublings up (coarsest
+        # stored extent 32 — its direct solve is a handful of small MXU
+        # contractions) unless the user pinned num_levels
+        num_levels = self.config.num_levels
+        if num_levels is None and self.config.cycle.coarsest == "exact":
+            from pde_multigrid_tpu.grid import num_levels_for
+
+            shp = (
+                (shape,) * problem.ndim
+                if isinstance(shape, int)
+                else tuple(shape)
+            )
+            num_levels = max(1, num_levels_for(shp) - 4)
         self.hierarchy = Hierarchy.build(
             problem,
             shape,
-            num_levels=self.config.num_levels,
+            num_levels=num_levels,
             dtype=dtype,
             pad_axis0_to=self.config.pad_axis0_to,
             pad_last_to=pad_last,

@@ -2,6 +2,7 @@
 smoothing) vs 'f32' at the bench config.  Within-process comparison only
 — the shared TPU pool's speed varies wildly between processes."""
 
+import os
 import sys
 import time
 
@@ -17,7 +18,10 @@ from pde_multigrid_tpu import (
 
 def run(n, nu, reps, precision):
     cfg = SolverConfig(
-        cycle=CycleConfig("fmg", 2, nu, nu),
+        cycle=CycleConfig(
+            "fmg", 2, nu, nu,
+            coarsest=os.environ.get("AB_COARSEST", "relax"),
+        ),
         backend="auto",
         precision=precision,
     )
@@ -50,10 +54,31 @@ def run(n, nu, reps, precision):
     return dt
 
 
+def fit(n, reps):
+    """Two-nu decomposition per precision, same process: step(nu) =
+    fixed + slope*nu isolates sweep cost from per-leg/fixed overheads."""
+    out = {}
+    for prec in ("mixed", "f32"):
+        t_lo = run(n, 40, reps, prec)
+        t_hi = run(n, 100, reps, prec)
+        slope = (t_hi - t_lo) / 60
+        fixed = t_lo - slope * 40
+        out[prec] = (fixed, slope)
+        print(
+            f"{prec}: fixed={fixed * 1e3:.2f} ms  "
+            f"slope={slope * 1e6:.1f} us/nu-unit",
+            flush=True,
+        )
+    return out
+
+
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 129
     nu = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 15
+    if len(sys.argv) > 4 and sys.argv[4] == "fit":
+        fit(n, reps)
+        sys.exit(0)
     m1 = run(n, nu, reps, "mixed")
     f1 = run(n, nu, reps, "f32")
     m2 = run(n, nu, reps, "mixed")
