@@ -117,9 +117,9 @@ def main():
         "--coarsest",
         choices=["relax", "exact", "auto"],
         default="auto",
-        help="coarsest-level solver; auto = fast-diagonalization exact "
-        "solve where the problem supports it (poisson3d), reference "
-        "relax sweeps otherwise",
+        help="coarsest-level solver; auto = exact (fast diagonalization "
+        "or probed dense inverse — all three bench problems are linear) "
+        "with the hierarchy truncated at the solvable level",
     )
     ap.add_argument("--pad-last", type=int, default=0,
                     help="pad last axis to this multiple (0 = auto)")
@@ -145,9 +145,7 @@ def main():
         "lyapunov2d": Lyapunov2D,
     }[args.problem]()
 
-    coarsest = args.coarsest
-    if coarsest == "auto":
-        coarsest = "exact" if args.problem == "poisson3d" else "relax"
+    coarsest = "exact" if args.coarsest == "auto" else args.coarsest
     cfg = SolverConfig(
         cycle=CycleConfig(
             "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest
@@ -202,8 +200,16 @@ def main():
     ups = updates / per_step
 
     def ref_shapes(n):
-        s = MultigridSolver(problem, n, cfg)
-        return [g.shape for g in s.geoms]
+        # the REFERENCE hierarchy: full recursion to 3 points/axis with
+        # relax everywhere — independent of our truncation/exact options
+        from pde_multigrid_tpu.grid import coarsen_shape, num_levels_for
+
+        shp = (n,) * problem.ndim
+        out = [shp]
+        for _ in range(num_levels_for(shp) - 1):
+            shp = coarsen_shape(shp)
+            out.append(shp)
+        return out
 
     ref_ups = reference_updates_per_s(args.problem, ref_shapes)
     print(

@@ -140,22 +140,24 @@ class CycleProgram:
             problem, geoms, config.smoother, config.omega
         )
         self._coarse_solvers: list[Any] = [None] * len(self.geoms)
+        if config.coarsest == "exact" and config.scheme == "cs":
+            # built EAGERLY: the dense path probes the operator and
+            # inverts on the host, which must not happen inside a trace
+            from pde_multigrid_tpu.ops import fastdiag
+
+            fn = fastdiag.make_coarse_solve(problem, self.geoms[-1])
+            if fn is None:
+                raise ValueError(
+                    "coarsest='exact' unsupported here: problem "
+                    f"{problem.name} is nonlinear or the coarsest level "
+                    "is too large for a direct solve (truncate with "
+                    "num_levels)"
+                )
+            self._coarse_solvers[-1] = fn
 
     # -- building blocks ---------------------------------------------------
 
     def _coarse_solve(self, l: int):
-        if self._coarse_solvers[l] is None:
-            from pde_multigrid_tpu.ops import fastdiag
-
-            fn = fastdiag.make_fastdiag_solve(
-                self.problem, self.geoms[l]
-            )
-            if fn is None:
-                raise ValueError(
-                    "coarsest='exact' needs a wrap-storage separable "
-                    f"problem; {self.problem.name} at level {l} is not"
-                )
-            self._coarse_solvers[l] = fn
         return self._coarse_solvers[l]
 
     def _fused(self, name: str, *args):
@@ -183,7 +185,7 @@ class CycleProgram:
             lvl = levels[l]
             v = self._fused("fused_vcycle", l, lvl.v, lvl.f)
             if v is None:
-                v = self._coarse_solve(l)(lvl.f)
+                v = self._coarse_solve(l)(lvl.v, lvl.f, lvl.aux)
             return _set(levels, l, dataclasses.replace(lvl, v=v))
         # whole-subtree fused kernels (ops/pallas/subtree.py): deeper
         # levels are pure V-cycle temporaries in the correction scheme

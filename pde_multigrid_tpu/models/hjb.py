@@ -85,6 +85,7 @@ class HJBMinTime(ProblemBase):
 
     ndim = 2
     name = "hjb2d"
+    nonlinear = True  # excludes linear-only machinery (dense coarse solve)
 
     def __init__(
         self,

@@ -74,6 +74,72 @@ def padded_axis_mats(geom: LevelGeometry, dtype=jnp.float32):
     return mats
 
 
+# dense-inverse coarse solve: largest interior system worth a
+# precomputed direct inverse (the (n, n) f32 literal and the O(n^2)
+# matvec per visit stay trivially cheap at this size)
+DENSE_COARSE_MAX = 2048
+
+
+def make_dense_coarse_solve(problem, geom: LevelGeometry):
+    """solve(v, f, aux) -> v for ANY linear problem at a small coarsest
+    level: the interior operator matrix is assembled once by probing
+    `apply_operator` with unit vectors (on the CPU backend, at build
+    time), inverted with numpy, and applied as one small matvec.
+
+    Boundary handling is storage-agnostic: the Dirichlet data in `v`
+    enters through r = f - A(v_boundary-only), so nonzero-boundary
+    padded levels (e.g. the Lyapunov family) solve exactly too.
+
+    Returns None for nonlinear problems or interiors above
+    DENSE_COARSE_MAX points."""
+    if getattr(problem, "nonlinear", False):
+        return None
+    nd = geom.ndim
+    n_ax = [max(geom.shape[d] - 2, 1) for d in range(nd)]
+    n_int = int(np.prod(n_ax))
+    if not 1 <= n_int <= DENSE_COARSE_MAX:
+        return None
+    lo = tuple(slice(1, geom.shape[d] - 1) for d in range(nd))
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        aux0 = problem.init_level(geom, dtype=jnp.float32).aux
+
+        def apply_int(e_flat):
+            e = jnp.zeros(geom.padded_shape, jnp.float32)
+            e = e.at[lo].set(e_flat.reshape(n_ax))
+            out = problem.apply_operator(e, geom, aux0)
+            return out[lo].reshape(-1)
+
+        rows = jax.jit(jax.vmap(apply_int))(
+            jnp.eye(n_int, dtype=jnp.float32)
+        )
+    A = np.asarray(rows, np.float64).T  # row j of `rows` = A e_j
+    Ainv = np.linalg.inv(A).astype(np.float32)  # numpy: embeds as literal
+
+    def solve(v, f, aux):
+        m_int, m_log = aux["m_int"], aux["m_log"]
+        v0 = v * (m_log - m_int)  # Dirichlet data only
+        r = m_int * (f - problem.apply_operator(v0, geom, aux))
+        vi = jnp.matmul(
+            Ainv.astype(np.dtype(v.dtype)),
+            r[lo].reshape(-1),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        return v0.at[lo].set(vi.reshape(n_ax).astype(v.dtype))
+
+    return solve
+
+
+def make_coarse_solve(problem, geom: LevelGeometry):
+    """Unified coarsest-level exact solver: fast diagonalization where
+    the operator is separable (wrap Poisson family), dense probed
+    inverse otherwise; fn(v, f, aux) -> v, or None."""
+    fd = make_fastdiag_solve(problem, geom)
+    if fd is not None:
+        return lambda v, f, aux: fd(f)
+    return make_dense_coarse_solve(problem, geom)
+
+
 def make_fastdiag_solve(problem, geom: LevelGeometry, dtype=jnp.float32):
     """solve(f) -> v with A v = f exactly on the interior (v = 0 on the
     boundary planes), for problems whose operator is the separable

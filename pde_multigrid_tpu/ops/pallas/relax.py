@@ -1494,15 +1494,24 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     align = 8 if len(shape) == 2 else 1
     if shape[0] % align:
         return None
-    plane = tile_padded_bytes((1,) + tuple(shape[1:]))
-    # Measured on TPU v5e (129^3 Poisson): T=1 is the sweet spot — the
-    # kernel is compute-bound once DMA is double-buffered, so T>1 only
-    # adds redundant halo compute.  VMEM cost model (against v5e's 16MB
-    # scoped limit): double-buffered vbuf + fbuf (4 slabs) + two masks +
-    # ~2 roll temps, each ~loc_rows rows.
+    # per-ROW VMEM bytes: for 2D, axis 0 IS the sublane dim, so a row is
+    # just the lane extent — tile-padding a single row would overcount
+    # 8x and (regression) reject the slab kernel at 2049^2 entirely,
+    # silently dropping the finest 2D level to the jnp tier
+    if len(shape) == 2:
+        plane = _round_up(shape[1], 128) * 4
+    else:
+        plane = tile_padded_bytes((1,) + tuple(shape[1:]))
+    # Measured on TPU v5e (129^3 Poisson, align=1): T=1 is the sweet
+    # spot — the halo grows with 2T rows, so T>1 only adds redundant
+    # compute.  For 2D (align=8) the sublane-aligned halo is 8 rows for
+    # ANY T <= 4, so T=4 quarters the HBM traffic per sweep at the same
+    # window — prefer it, with larger B to amortize the halo.  VMEM cost
+    # model (against v5e's 16MB scoped limit): double-buffered vbuf +
+    # fbuf (4 slabs) + two masks + ~2 roll temps, each ~loc_rows rows.
     zrow = align if geom.wrap else 0
-    for T in (1,):
-        for B in (16, 8) if align == 8 else (16, 8, 4):
+    for T in (4, 1) if align == 8 else (1,):
+        for B in (64, 32, 16, 8) if align == 8 else (16, 8, 4):
             ext = B + 2 * (-((2 * T) // -align) * align)
             ext += (shape[0] - ext) % 2
             if shape[0] < ext:

@@ -198,14 +198,38 @@ def restrict_full_weighting(
     a = fine
     for ax in range(fine.ndim):
         a = 0.25 * _shift(a, ax, -1) + 0.5 * a + 0.25 * _shift(a, ax, +1)
-    sub = (slice(None, None, 2),) * fine.ndim
     cshape = m_int_coarse.shape
-    smoothed = _fit(a[sub], cshape)
-    injected = _fit(fine[sub], cshape)
+    smoothed = _fit(_subsample2(a), cshape)
+    injected = _fit(_subsample2(fine), cshape)
     out = injected + m_int_coarse * (smoothed - injected)
     if m_log_coarse is not None:
         out = out * m_log_coarse
     return out
+
+
+def _subsample2(a: Array) -> Array:
+    """Even-index stride-2 subsample on every axis via reshape + static
+    slice.  A direct a[::2, ...] multi-axis strided slice lowers to a
+    GATHER on TPU — measured 32 ms (vs a ~1 ms roofline) for one 2049^2
+    restriction, which made restriction ~80% of the whole 2D FMG step.
+    Splitting each axis as (n/2, 2) and picking index 0 is layout-free."""
+    for ax in range(a.ndim):
+        n = a.shape[ax]
+        pre, post = a.shape[:ax], a.shape[ax + 1 :]
+        if n % 2 == 0:
+            a2 = a.reshape(pre + (n // 2, 2) + post)
+            a = jax.lax.slice_in_dim(a2, 0, 1, axis=ax + 1).reshape(
+                pre + (n // 2,) + post
+            )
+        else:
+            body = jax.lax.slice_in_dim(a, 0, n - 1, axis=ax)
+            a2 = body.reshape(pre + ((n - 1) // 2, 2) + post)
+            body = jax.lax.slice_in_dim(a2, 0, 1, axis=ax + 1).reshape(
+                pre + ((n - 1) // 2,) + post
+            )
+            last = jax.lax.slice_in_dim(a, n - 1, n, axis=ax)
+            a = jnp.concatenate([body, last], axis=ax)
+    return a
 
 
 def _upsample_axis(a: Array, axis: int) -> Array:
@@ -253,8 +277,7 @@ def inject(fine: Array, coarse_shape: tuple[int, ...]) -> Array:
     """Straight injection fine -> coarse: coarse[j] = fine[2j] (the
     reference's boundary-row transfer, used by FAS for restricting the
     current solution approximation)."""
-    sub = (slice(None, None, 2),) * fine.ndim
-    return _fit(fine[sub], coarse_shape)
+    return _fit(_subsample2(fine), coarse_shape)
 
 
 def apply_correction(v: Array, error: Array, m_int: Array) -> Array:

@@ -155,20 +155,41 @@ class MultigridSolver:
                 raise ValueError(
                     "storage='wrap' requires homogeneous Dirichlet data"
                 )
-        # coarsest='exact' (fast diagonalization) makes deep recursion
-        # pointless: truncate the hierarchy four doublings up (coarsest
-        # stored extent 32 — its direct solve is a handful of small MXU
-        # contractions) unless the user pinned num_levels
+        # coarsest='exact' makes deep recursion pointless: truncate the
+        # hierarchy at the SHALLOWEST level the direct solver handles —
+        # fast diagonalization (wrap separable problems, stored extent
+        # <= 32: a handful of small contractions) or the probed dense
+        # inverse (any linear problem, interior <= DENSE_COARSE_MAX)
         num_levels = self.config.num_levels
         if num_levels is None and self.config.cycle.coarsest == "exact":
-            from pde_multigrid_tpu.grid import num_levels_for
+            import math as _math
+
+            from pde_multigrid_tpu.grid import (
+                coarsen_shape,
+                num_levels_for,
+            )
+            from pde_multigrid_tpu.ops import fastdiag as _fd
 
             shp = (
                 (shape,) * problem.ndim
                 if isinstance(shape, int)
                 else tuple(shape)
             )
-            num_levels = max(1, num_levels_for(shp) - 4)
+            total = num_levels_for(shp)
+            num_levels = total
+            cur = shp
+            for l in range(total):
+                if l:
+                    cur = coarsen_shape(cur)
+                n_int = _math.prod(max(n - 2, 1) for n in cur)
+                sep_ok = (
+                    wrap
+                    and hasattr(problem, "separable_fastdiag")
+                    and max(cur) <= 33
+                )
+                if sep_ok or n_int <= _fd.DENSE_COARSE_MAX:
+                    num_levels = l + 1
+                    break
         self.hierarchy = Hierarchy.build(
             problem,
             shape,

@@ -93,16 +93,65 @@ def test_exact_coarsest_converges(backend):
 def test_exact_coarsest_config_validation():
     with pytest.raises(ValueError):
         CycleConfig("v", scheme="fas", coarsest="exact")
-    # non-separable problem: building the solve must fail loudly
+    # nonlinear problem: building the solver must fail loudly
+    from pde_multigrid_tpu.models.hjb import HJBMinTime
+
+    with pytest.raises(ValueError):
+        MultigridSolver(
+            HJBMinTime(),
+            17,
+            SolverConfig(
+                cycle=CycleConfig("v", 1, 2, 2, coarsest="exact"),
+                backend="jnp",
+            ),
+        )
+
+
+def test_dense_coarse_solve_lyapunov():
+    """The probed dense inverse solves a nonsymmetric one-sided-stencil
+    problem with NONZERO Dirichlet data exactly at the coarsest level."""
+    from pde_multigrid_tpu import Lyapunov2D
+    from pde_multigrid_tpu.grid import Hierarchy
+
+    prob = Lyapunov2D()
+    h = Hierarchy.build(prob, 17)
+    geom, lvl = h.geoms[0], h.levels[0]
+    solve = fastdiag.make_dense_coarse_solve(prob, geom)
+    assert solve is not None
+    v = solve(lvl.v, lvl.f, lvl.aux)
+    m_int = np.asarray(lvl.aux["m_int"])
+    r = np.asarray(
+        (lvl.f - prob.apply_operator(v, geom, lvl.aux)) * m_int
+    )
+    scale = max(np.max(np.abs(np.asarray(lvl.f))), 1.0)
+    assert np.max(np.abs(r)) < 1e-3 * scale
+    # boundary data preserved
+    mb = np.asarray(lvl.aux["m_log"]) - m_int
+    np.testing.assert_allclose(
+        np.asarray(v) * mb, np.asarray(lvl.v) * mb, rtol=0, atol=0
+    )
+
+
+def test_exact_coarsest_lyapunov_end_to_end():
+    """FMG with the dense exact coarsest on the Lyapunov problem:
+    truncated hierarchy, converges to the analytic quadratic form."""
     from pde_multigrid_tpu import Lyapunov2D
 
     s = MultigridSolver(
         Lyapunov2D(),
-        17,
+        129,
         SolverConfig(
-            cycle=CycleConfig("v", 1, 2, 2, coarsest="exact"),
+            cycle=CycleConfig("fmg", 1, 20, 20, coarsest="exact"),
             backend="jnp",
         ),
     )
-    with pytest.raises(ValueError):
-        s.solve()
+    assert len(s.geoms) < 6  # truncated (full hierarchy would be 6)
+    r = s.solve()
+    s_ref = MultigridSolver(
+        Lyapunov2D(),
+        129,
+        SolverConfig(cycle=CycleConfig("fmg", 1, 20, 20), backend="jnp"),
+    )
+    rr = s_ref.solve()
+    # first-order scheme: O(h) error floor; match the reference run
+    assert r.error_linf < 1.5 * rr.error_linf + 1e-6
