@@ -156,3 +156,26 @@ def test_sharded_coarse_levels_replicated():
     assert len(levels[0].v.sharding.device_set) == 4
     # coarsest (3x3 logical) must be replicated (agglomeration)
     assert levels[-1].v.sharding.is_fully_replicated
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_exact_coarsest_converges():
+    """coarsest='exact' under spatial sharding: the truncated hierarchy's
+    fine levels stay x-plane-sharded (ppermute halo relaxation) while the
+    exact coarse solve runs on the agglomerated replicated level."""
+    from pde_multigrid_tpu import MultigridSolver, SolverConfig
+
+    mesh = pmesh.make_mesh(8)
+    s = MultigridSolver(
+        Poisson(3),
+        65,
+        SolverConfig(
+            cycle=CycleConfig("fmg", 1, 6, 6, coarsest="exact"),
+            pad_axis0_to=8,
+        ),
+        mesh=mesh,
+    )
+    assert len(s.geoms) == 2  # truncated at the 33^3 exact level
+    r = s.solve()
+    h = 1.0 / 64
+    assert r.error_linf < 50 * h * h
