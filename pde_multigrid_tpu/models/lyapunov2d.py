@@ -129,3 +129,14 @@ class Lyapunov2D(ProblemBase):
         east = self.shift(v, 0, +1)
         south = self.shift(v, 1, +1)
         return east * pre["a_e"] + south * pre["a_s"] + f * pre["a_f"]
+
+    def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
+        """Local solve on 2D color-split storage (relax.
+        make_split_color_slab_2d): `nbr(axis, off)` gathers the opposite
+        color's neighbor; `pre` holds this color's coefficient fields.
+        Same math and term order as kernel_update."""
+        return (
+            nbr(0, +1) * pre["a_e"]
+            + nbr(1, +1) * pre["a_s"]
+            + f * pre["a_f"]
+        )

@@ -191,6 +191,16 @@ class Poisson(ProblemBase):
             num = num + pairs[ax] * w
         return num * inv_den
 
+    def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
+        """2D color-split local solve (relax.make_split_color_slab_2d):
+        nbr(axis, off) gathers the opposite color's neighbor."""
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        inv_den = 1.0 / (2.0 * sum(inv_h2))
+        num = -f
+        for ax, w in enumerate(inv_h2):
+            num = num + (nbr(ax, -1) + nbr(ax, +1)) * w
+        return num * inv_den
+
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # constant-coefficient: weights and the reciprocal fold to scalars.
         # Spatial axes are the LAST geom.ndim axes of v (1D problems run

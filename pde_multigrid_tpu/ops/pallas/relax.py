@@ -1083,6 +1083,291 @@ def make_split_slab_relax(
     return relax
 
 
+# ------------------------------------------ 2D color-split slab kernel
+
+
+def _qx_mask(X: int):
+    """numpy bool (X, 1): q(x) = x % 2 — in 2D, red points of row x sit
+    at y = 2j + q(x), black at y = 2j + 1 - q(x)."""
+    return ((np.arange(X) % 2) == 1)[:, None]
+
+
+def split_colors_2d(v, qx):
+    """(X, Y) dense -> (R, B) color-split (X, Y/2) halves (lane-dim
+    reshape + parity select; measured ~120 us per conversion at 2049^2 —
+    amortized over the nu sweeps of a relax leg)."""
+    X, Y = v.shape
+    a2 = v.reshape(X, Y // 2, 2)
+    v0, v1 = a2[:, :, 0], a2[:, :, 1]
+    return jnp.where(qx, v1, v0), jnp.where(qx, v0, v1)
+
+
+def merge_colors_2d(r, b, qx):
+    """Inverse of split_colors_2d."""
+    v0 = jnp.where(qx, b, r)
+    v1 = jnp.where(qx, r, b)
+    return jnp.stack([v0, v1], axis=2).reshape(r.shape[0], -1)
+
+
+def make_split_color_slab_2d(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    slab_rows: int,
+    sweeps_per_call: int = 1,
+    interpret=False,
+):
+    """Color-split slab relaxation for 2D PADDED levels.
+
+    The dense 2D slab kernel computes every point's update and discards
+    the other color's half — 2x redundant arithmetic (and for the
+    one-sided Lyapunov stencil the update itself is only ~6 ops, so the
+    waste dominates).  Red/black live as (X, Y/2) halves split along the
+    LANE dim with q = x % 2 (red y = 2j + q):
+
+      * x+-1 neighbors of red sit at the SAME j in black (q flips with
+        x), so the x gathers are plain sublane rolls with no select;
+      * y+-1 neighbors need one parity select per gather:
+        red y+1 = B[x, j+q], red y-1 = B[x, j+q-1] (black mirrors with
+        q -> 1-q).
+
+    Neighbor access is handed to `problem.split_update2d(nbr, f, pre,
+    geom)` via an `nbr(axis, off)` callback, and per-color coefficient
+    fields reuse `problem.kernel_precompute` evaluated at the color's
+    own (x, y) coordinates.  x uses the same sublane-aligned trapezoidal
+    slab scheme as make_slab_relax (8-row halo covers T <= 4 sweeps per
+    HBM round trip for free).  Non-wrap (padded) storage only: lane/
+    sublane rolls wrap onto discarded halo margins or masked padding.
+    """
+    assert geom.ndim == 2 and not geom.wrap
+    X, Y = geom.padded_shape
+    Y2 = Y // 2
+    # HBM<->VMEM DMA slices need a 128-aligned lane extent; the halves
+    # are lane-padded with inert zeros (masks exclude them: their y
+    # indices exceed ny-2 by construction)
+    Y2p = _round_up(Y2, 128)
+    B = slab_rows
+    T = sweeps_per_call
+    assert 1 <= T <= 4
+    HALO = 8
+    ext = B + 2 * HALO
+    assert B % 8 == 0 and X % 8 == 0 and X >= ext
+    nblk = X // B
+    rem_start = nblk * B
+    assert rem_start >= geom.shape[0] - 1
+    max_start = X - ext
+    ny = geom.shape[0 + 1]
+
+    def kernel(
+        rv_hbm,
+        bv_hbm,
+        rf_hbm,
+        bf_hbm,
+        ro_hbm,
+        bo_hbm,
+        rvb,
+        bvb,
+        rfb,
+        bfb,
+        in_sem,
+        out_sem,
+        *,
+        nsweeps_here,
+    ):
+        bufs = (rvb, bvb, rfb, bfb)
+        hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+
+        def start_units(p):
+            return jnp.clip(
+                p * (B // 8) - HALO // 8, 0, max_start // 8
+            )
+
+        def start_of(p):
+            return start_units(p) * 8
+
+        def in_dmas(slot, p):
+            s = start_of(p)
+            return [
+                pltpu.make_async_copy(
+                    h.at[pl.ds(s, ext)],
+                    b.at[slot],
+                    in_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(zip(hbms, bufs))
+            ]
+
+        def out_dmas(slot, p):
+            off = (p * (B // 8) - start_units(p)) * 8
+            return [
+                pltpu.make_async_copy(
+                    b.at[slot, pl.ds(off, B)],
+                    h.at[pl.ds(p * B, B)],
+                    out_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(((ro_hbm, rvb), (bo_hbm, bvb)))
+            ]
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        jj = lax.broadcasted_iota(jnp.int32, (1, Y2p), 1)
+
+        def rl(a, s):
+            return jnp.roll(a, -s, axis=1)
+
+        def nbr_factory(other, q1):
+            def nbr(ax, off):
+                if ax == 0:
+                    return jnp.roll(other, -off, axis=0)
+                if off == +1:
+                    return jnp.where(q1, rl(other, 1), other)
+                return jnp.where(q1, other, rl(other, -1))
+
+            return nbr
+
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
+
+            @pl.when(p + 1 < nblk)
+            def _():
+                @pl.when(p >= 1)
+                def _():
+                    for d in out_dmas(nxt, p - 1):
+                        d.wait()
+
+                for d in in_dmas(nxt, p + 1):
+                    d.start()
+
+            for d in in_dmas(slot, p):
+                d.wait()
+            s = start_of(p)
+            g = s + lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+            q1 = (g % 2) == 1
+            qi = q1.astype(jnp.int32)
+            y_r = 2 * jj + qi
+            y_b = 2 * jj + 1 - qi
+            okx = (g >= 1) & (g <= geom.shape[0] - 2)
+            m_r = ((y_r >= 1) & (y_r <= ny - 2) & okx).astype(dtype)
+            m_b = ((y_b >= 1) & (y_b <= ny - 2) & okx).astype(dtype)
+            # per-color coefficient fields at the color's own coords
+            lo0, hi0 = geom.domain[0]
+            lo1, hi1 = geom.domain[1]
+            xf = jnp.clip(
+                jnp.asarray(geom.origin[0], dtype)
+                + g.astype(dtype) * jnp.asarray(geom.spacing[0], dtype),
+                min(lo0, hi0),
+                max(lo0, hi0),
+            )
+            def yf(yi):
+                return jnp.clip(
+                    jnp.asarray(geom.origin[1], dtype)
+                    + yi.astype(dtype)
+                    * jnp.asarray(geom.spacing[1], dtype),
+                    min(lo1, hi1),
+                    max(lo1, hi1),
+                )
+
+            pre_r = problem.kernel_precompute(
+                (xf, yf(y_r)), geom, dtype
+            )
+            pre_b = problem.kernel_precompute(
+                (xf, yf(y_b)), geom, dtype
+            )
+            r, b = rvb[slot], bvb[slot]
+            fr, fb = rfb[slot], bfb[slot]
+
+            def one_sweep(_, rb):
+                r, b = rb
+                upd = problem.split_update2d(
+                    nbr_factory(b, q1), fr, pre_r, geom
+                )
+                r = r + m_r * (upd - r)
+                upd = problem.split_update2d(
+                    nbr_factory(r, jnp.logical_not(q1)), fb, pre_b, geom
+                )
+                b = b + m_b * (upd - b)
+                return r, b
+
+            if nsweeps_here == 1:
+                r, b = one_sweep(0, (r, b))
+            else:
+                r, b = lax.fori_loop(0, nsweeps_here, one_sweep, (r, b))
+            rvb[slot] = r
+            bvb[slot] = b
+            for d in out_dmas(slot, p):
+                d.start()
+            return 0
+
+        lax.fori_loop(0, nblk, body, 0)
+        for d in out_dmas((nblk - 1) % 2, nblk - 1):
+            d.wait()
+        if nblk > 1:
+            for d in out_dmas((nblk - 2) % 2, nblk - 2):
+                d.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps_here: int):
+        call = pl.pallas_call(
+            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            out_shape=(
+                jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
+                jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ext, Y2p), dtype),
+                pltpu.VMEM((2, ext, Y2p), dtype),
+                pltpu.VMEM((2, ext, Y2p), dtype),
+                pltpu.VMEM((2, ext, Y2p), dtype),
+                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
+        if rem_start == X:
+            return call
+
+        def with_tail(r, b, fr, fb):
+            ro, bo = call(r, b, fr, fb)
+            return (
+                jnp.concatenate([ro, r[rem_start:]], axis=0),
+                jnp.concatenate([bo, b[rem_start:]], axis=0),
+            )
+
+        return with_tail
+
+    qx = _qx_mask(X)
+
+    def relax(v, f, nsweeps: int):
+        def pad(a):
+            return jnp.pad(a, ((0, 0), (0, Y2p - Y2)))
+
+        r, b = (pad(a) for a in split_colors_2d(v, qx))
+        fr, fb = (pad(a) for a in split_colors_2d(f, qx))
+        n_full, rem = divmod(nsweeps, T)
+        if n_full:
+            full = build(T)
+            if n_full == 1:
+                r, b = full(r, b, fr, fb)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[0], rb[1], fr, fb),
+                    (r, b),
+                )
+        if rem:
+            r, b = build(rem)(r, b, fr, fb)
+        return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
+
+    return relax
+
+
 # ------------------------------------- 2D-blocked split-color slab kernel
 
 
@@ -1489,6 +1774,32 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # wrap-mode 2^k extents satisfy this automatically once big enough.
     # For 2D, axis 0 is itself the sublane dim: extents, slab rows, and
     # halos must all be 8-aligned (see make_slab_relax).
+    # 2D color-split slab (padded storage): ~half the arithmetic of the
+    # dense masked update — and for one-sided stencils (Lyapunov) the
+    # dense update is so cheap that the discarded half DOMINATES
+    if (
+        len(shape) == 2
+        and not geom.wrap
+        and hasattr(problem, "split_update2d")
+        and hasattr(problem, "kernel_precompute")
+        and shape[1] % 2 == 0
+        and shape[0] % 8 == 0
+        # big levels only: the per-leg XLA split/merge conversions
+        # (~0.36 ms) outweigh the halved arithmetic on smaller slabs
+        and shape[1] // 2 >= 512
+    ):
+        half_row = _round_up(shape[1] // 2, 128) * 4
+        for B in (64, 32, 16, 8):
+            ext = B + 16
+            if shape[0] < ext:
+                continue
+            if (shape[0] // B) * B < geom.shape[0] - 1:
+                continue
+            if half_row * 12 * ext <= SLAB_VMEM_BUDGET:
+                return make_split_color_slab_2d(
+                    problem, geom, dtype, B,
+                    sweeps_per_call=4, interpret=interpret,
+                )
     if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
         return None
     align = 8 if len(shape) == 2 else 1

@@ -482,3 +482,32 @@ def test_fused_prolong_blend_matches_jnp(mode, block_rows):
     else:
         want = np.asarray(v + auxf["m_int"] * (up - v))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("B,T", [(8, 1), (8, 4), (16, 2)])
+def test_split_color_slab_2d_matches_jnp(B, T):
+    """2D color-split slab kernel (padded storage, lane-dim split,
+    q = x%2) == dense masked relaxation for both the one-sided Lyapunov
+    stencil and the 5-point Poisson stencil."""
+    for prob in (Lyapunov2D(), Poisson(2)):
+        h = Hierarchy.build(
+            prob, 33, pad_last_to=128, pad_sublane_to=8
+        )
+        lvl, geom = h.levels[0], h.geoms[0]
+        assert not geom.wrap
+        v = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        f = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        fn = R.make_split_color_slab_2d(
+            prob, geom, F32, B, sweeps_per_call=T, interpret=True
+        )
+        for ns in (1, 5):
+            got = np.asarray(fn(v, f, ns))
+            want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, ns))
+            np.testing.assert_allclose(
+                got, want, rtol=2e-5, atol=2e-6,
+                err_msg=f"{prob.name} B={B} T={T} ns={ns}",
+            )
