@@ -174,11 +174,16 @@ def make_fastdiag_solve(problem, geom: LevelGeometry, dtype=jnp.float32):
         )
         out_letters = letters.replace(src, spec_ab[0])
         spec = f"{m_spec},{letters}->{out_letters}"
+        # HIGHEST: XLA's default TPU matmul precision is bf16, whose
+        # rounding gets amplified by the operator's condition number
+        # (kappa ~ 4/(pi h)^2) through the spectral transforms — measured
+        # as a stalled two-level cycle at 129^3/65^3
         out = jnp.einsum(
             spec,
             mat,
             a,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         ).astype(a.dtype)
         # einsum output axes keep positional order of `out_letters`
         # which equals positions of `letters` — no transpose happened

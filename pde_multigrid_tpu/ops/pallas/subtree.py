@@ -606,6 +606,12 @@ def _build(
             return relax(k, v, f, nu2)
 
         v, f = v_ref[:], f_ref[:]
+        if root_merged and coarsest_exact and K == 1:
+            # single-level subtree AT the coarsest: the "V-cycle" is the
+            # exact solve itself (the relax-only root path would leave a
+            # smoother where the cycle contract requires a solver)
+            o_ref[:] = to_m(0, exact_coarse(to_u(0, f)))
+            return
         if root_merged:
             # merged masks and the lane iota are likewise rebuilt at each
             # use site to keep their live ranges short
@@ -841,6 +847,11 @@ def plan_fused_cycles(problem, geoms, dtype, cycle, interpret=False):
     for l in range(n - 1, -1, -1):
         sub = geoms[l:]
         if not _subtree_ok(problem, sub):
+            continue
+        if exact and l == n - 1 and max(sub[0].padded_shape) > 32:
+            # a large coarsest level solves exactly via the XLA fastdiag
+            # path (6 HIGHEST-precision einsums) — the in-kernel unrolled
+            # form busts the scoped-VMEM stack above 32^3
             continue
         deeper = sum(_pad_bytes(g.padded_shape) for g in sub[1:])
         root = _pad_bytes(sub[0].padded_shape)

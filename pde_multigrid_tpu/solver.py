@@ -182,13 +182,19 @@ class MultigridSolver:
                 if l:
                     cur = coarsen_shape(cur)
                 n_int = _math.prod(max(n - 2, 1) for n in cur)
+                # separable fast diagonalization: a 65^3 solve is ~6
+                # HIGHEST-precision einsums — measured CHEAPER than
+                # running the level-64 multigrid machinery at 129^3
                 sep_ok = (
                     wrap
                     and hasattr(problem, "separable_fastdiag")
-                    and max(cur) <= 33
+                    and max(cur) <= 65
                 )
                 if sep_ok or n_int <= _fd.DENSE_COARSE_MAX:
-                    num_levels = l + 1
+                    # keep >= 2 levels so every configured cycle still
+                    # exercises the multigrid path (num_levels=1 — a pure
+                    # direct solve — remains available explicitly)
+                    num_levels = max(2, l + 1) if total > 1 else 1
                     break
         self.hierarchy = Hierarchy.build(
             problem,

@@ -20,8 +20,12 @@ PROBS = {"poisson3d": Poisson3D, "ode1d": Ode1D, "lyapunov2d": Lyapunov2D}
 
 def run(prob_name, n, nu, reps, **cy):
     cy.setdefault("coarsest", os.environ.get("AB_COARSEST", "relax"))
+    nl = int(os.environ.get("AB_NUM_LEVELS", "0")) or None
     cfg = SolverConfig(
-        cycle=CycleConfig("fmg", 2, nu, nu, **cy), backend="auto"
+        cycle=CycleConfig("fmg", 2, nu, nu, **cy),
+        backend="auto",
+        num_levels=nl,
+        precision=os.environ.get("AB_PRECISION", "f32"),
     )
     solver = MultigridSolver(PROBS[prob_name](), n, cfg)
     program = solver.program
