@@ -29,7 +29,6 @@ boundary plane, interior rows 1..S-1 for stored size S = 2^k).
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -48,7 +48,6 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from pde_multigrid_tpu.grid import LevelGeometry
 from pde_multigrid_tpu.ops.pallas import relax as relax_mod
