@@ -316,7 +316,14 @@ class CycleProgram:
         levels = _set(levels, nlev - 1, dataclasses.replace(bot, v=v0))
         # upward leg: nu0 V-cycles per level, then prolong the solution
         for l in range(nlev - 1, -1, -1):
-            for _ in range(cfg.nu0):
+            # an exact coarsest "V-cycle" is a direct solve — idempotent,
+            # so repeating it nu0 times is pure waste
+            reps = (
+                1
+                if cfg.coarsest == "exact" and l == nlev - 1
+                else cfg.nu0
+            )
+            for _ in range(reps):
                 levels = self.v_cycle(levels, l)
             if l > 0:
                 fine = levels[l - 1]
