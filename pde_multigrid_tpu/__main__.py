@@ -125,10 +125,28 @@ def main(argv=None):
     ap.add_argument("--tol", type=float, default=0.0)
     ap.add_argument("--cycles", type=int, default=1, help="max cycles after the first")
     ap.add_argument("--mesh", type=int, default=0, help="shard over N devices")
+    ap.add_argument(
+        "--distributed",
+        default=None,
+        metavar="COORD_ADDR",
+        help="multi-host: jax.distributed.initialize(coordinator_address"
+        "=COORD_ADDR) before device discovery; pair with --num-processes/"
+        "--process-id (or rely on the cluster env autodetect by passing "
+        "'auto')",
+    )
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     ap.add_argument("--metrics", default=None, help="JSONL metrics path")
     ap.add_argument("--checkpoint", default=None, help="save final state here (.npz)")
     ap.add_argument("--resume", default=None, help="resume from checkpoint (.npz)")
     ap.add_argument("--dump-v", default=None, help="write a PrintGrid_v-style dump")
+    ap.add_argument(
+        "--profile",
+        default=None,
+        metavar="DIR",
+        help="capture a jax.profiler trace of the solve into DIR "
+        "(view with tensorboard/xprof; SURVEY.md §5 tracing subsystem)",
+    )
     args = ap.parse_args(argv)
 
     if args.preset:
@@ -137,6 +155,21 @@ def main(argv=None):
                 args.domain = v
             else:
                 setattr(args, k, v)
+
+    if args.distributed:
+        # multi-host entry (SURVEY.md §5: jax.distributed + Mesh): every
+        # process runs this same CLI; the mesh below then spans all hosts'
+        # devices and GSPMD partitions each level across them
+        import jax
+
+        kw = {}
+        if args.distributed != "auto":
+            kw["coordinator_address"] = args.distributed
+        if args.num_processes is not None:
+            kw["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            kw["process_id"] = args.process_id
+        jax.distributed.initialize(**kw)
 
     from pde_multigrid_tpu import CycleConfig, MultigridSolver, SolverConfig
     from pde_multigrid_tpu.utils.metrics import MetricsLogger
@@ -177,7 +210,15 @@ def main(argv=None):
         print(f"resumed from {args.resume}: {meta}", file=sys.stderr)
 
     metrics = MetricsLogger(args.metrics) if args.metrics else None
-    res = solver.solve_to_tolerance(levels=levels, metrics=metrics)
+    import contextlib
+
+    trace_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.profile)
+    with trace_cm:
+        res = solver.solve_to_tolerance(levels=levels, metrics=metrics)
     if metrics:
         metrics.close()
 

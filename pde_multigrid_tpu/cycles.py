@@ -52,7 +52,9 @@ class JnpKernels:
         self.omega = omega
         self._line_builders: dict[int, Any] = {}
 
-    def relax(self, l: int, v, f, aux, nsweeps: int):
+    def relax(self, l: int, v, f, aux, nsweeps: int, f_zero: bool = False):
+        # f_zero: statically-known-zero RHS hint (used by kernel tiers
+        # that can drop the f stream; the jnp tier just ignores it)
         g = self.geoms[l]
         if self.smoother == "exact":
             if not hasattr(self.problem, "exact_solve"):
@@ -139,6 +141,7 @@ class CycleProgram:
         self.kernels = kernels or JnpKernels(
             problem, geoms, config.smoother, config.omega
         )
+        self._rhs_zero = bool(getattr(problem, "rhs_is_zero", False))
         self._coarse_solvers: list[Any] = [None] * len(self.geoms)
         if config.coarsest == "exact" and config.scheme == "cs":
             # built EAGERLY: the dense path probes the operator and
@@ -166,14 +169,23 @@ class CycleProgram:
         fn = getattr(self.kernels, name, None)
         return None if fn is None else fn(*args)
 
-    def _relax(self, levels: Levels, l: int, nsweeps: int) -> Levels:
+    def _relax(
+        self, levels: Levels, l: int, nsweeps: int, f_zero: bool = False
+    ) -> Levels:
         if nsweeps == 0:
             return levels
         lvl = levels[l]
-        v = self.kernels.relax(l, lvl.v, lvl.f, lvl.aux, nsweeps)
+        v = self.kernels.relax(
+            l, lvl.v, lvl.f, lvl.aux, nsweeps, f_zero=f_zero
+        )
         return _set(levels, l, dataclasses.replace(lvl, v=v))
 
-    def v_cycle(self, levels: Levels, l: int = 0) -> Levels:
+    def v_cycle(
+        self, levels: Levels, l: int = 0, f_is_rhs: bool = True
+    ) -> Levels:
+        # f_is_rhs: levels[l].f is the (possibly FMG-cascaded) problem
+        # RHS, not a restricted residual — combined with rhs_is_zero
+        # problems the relax legs at this level may drop the f stream
         if self.config.scheme == "fas":
             return self.fas_v_cycle(levels, l)
         cfg = self.config
@@ -197,7 +209,8 @@ class CycleProgram:
             return _set(
                 levels, l, dataclasses.replace(levels[l], v=full)
             )
-        levels = self._relax(levels, l, cfg.nu1)
+        fz = f_is_rhs and self._rhs_zero
+        levels = self._relax(levels, l, cfg.nu1, f_zero=fz)
         if l != len(self.geoms) - 1:
             fine = levels[l]
             vc = self._fused("fused_correction", l, fine.v, fine.f)
@@ -205,7 +218,7 @@ class CycleProgram:
                 levels = _set(
                     levels, l, dataclasses.replace(fine, v=vc)
                 )
-                return self._relax(levels, l, cfg.nu2)
+                return self._relax(levels, l, cfg.nu2, f_zero=fz)
             coarse = levels[l + 1]
             cf = self._fused(
                 "residual_restrict", l, fine.v, fine.f, fine.aux, coarse.aux
@@ -222,7 +235,7 @@ class CycleProgram:
                 levels, l + 1, dataclasses.replace(coarse, v=cv, f=cf)
             )
             for _ in range(cfg.mu):
-                levels = self.v_cycle(levels, l + 1)
+                levels = self.v_cycle(levels, l + 1, f_is_rhs=False)
             fine = levels[l]
             v = self._fused(
                 "prolong_blend",
@@ -238,7 +251,7 @@ class CycleProgram:
                     fine.v, err, fine.aux["m_int"]
                 )
             levels = _set(levels, l, dataclasses.replace(fine, v=v))
-        levels = self._relax(levels, l, cfg.nu2)
+        levels = self._relax(levels, l, cfg.nu2, f_zero=fz)
         return levels
 
     def fas_v_cycle(self, levels: Levels, l: int = 0) -> Levels:

@@ -60,6 +60,12 @@ class ProblemBase:
     explicitly so every schedule (not just FMG) starts well-defined.
     """
 
+    # True when rhs() is identically zero (so the RHS cascaded down by FMG
+    # is zero on EVERY level): relax kernels that advertise
+    # `supports_f_zero` then drop the f stream on RHS-carrying legs
+    # (cycles.CycleProgram threads the flag; see relax.py f_zero paths)
+    rhs_is_zero = False
+
     def boundary_values(self, coords: tuple[Array, ...]) -> Array:
         return self.exact_solution(coords)
 

@@ -39,6 +39,13 @@ Array = jax.Array
 class Lyapunov2D(ProblemBase):
     ndim = 2
     name = "lyapunov2d"
+    # f = 0 identically on the finest grid (reference Grid2D.cpp:70-80)
+    # AND on every FMG-cascaded level (restriction of zero): finest-leg
+    # relax kernels may drop the RHS stream (relax.py f_zero path)
+    rhs_is_zero = True
+    # the one-sided stencil reads only the +x neighbor: the 2D split
+    # slab kernel then carries no bottom halo at all
+    split2d_x_offsets = (+1,)
 
     def __init__(
         self,
@@ -134,9 +141,7 @@ class Lyapunov2D(ProblemBase):
         """Local solve on 2D color-split storage (relax.
         make_split_color_slab_2d): `nbr(axis, off)` gathers the opposite
         color's neighbor; `pre` holds this color's coefficient fields.
-        Same math and term order as kernel_update."""
-        return (
-            nbr(0, +1) * pre["a_e"]
-            + nbr(1, +1) * pre["a_s"]
-            + f * pre["a_f"]
-        )
+        Same math and term order as kernel_update.  `f is None` means a
+        statically zero RHS (the f term is dropped entirely)."""
+        upd = nbr(0, +1) * pre["a_e"] + nbr(1, +1) * pre["a_s"]
+        return upd if f is None else upd + f * pre["a_f"]

@@ -193,12 +193,14 @@ class Poisson(ProblemBase):
 
     def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
         """2D color-split local solve (relax.make_split_color_slab_2d):
-        nbr(axis, off) gathers the opposite color's neighbor."""
+        nbr(axis, off) gathers the opposite color's neighbor.  `f is
+        None` means a statically zero RHS."""
         inv_h2 = [1.0 / (h * h) for h in geom.spacing]
         inv_den = 1.0 / (2.0 * sum(inv_h2))
-        num = -f
+        num = None if f is None else -f
         for ax, w in enumerate(inv_h2):
-            num = num + (nbr(ax, -1) + nbr(ax, +1)) * w
+            pair = (nbr(ax, -1) + nbr(ax, +1)) * w
+            num = pair if num is None else num + pair
         return num * inv_den
 
     def kernel_update(self, v, f, pre, geom: LevelGeometry):

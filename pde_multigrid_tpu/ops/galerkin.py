@@ -253,7 +253,7 @@ class GalerkinKernels:
             offsets=self.offsets[l], coeffs=aux["stencil_coeffs"]
         )
 
-    def relax(self, l, v, f, aux, nsweeps):
+    def relax(self, l, v, f, aux, nsweeps, f_zero=False):
         op = self._op(l, aux)
         if self.smoother == "jacobi":
             return stencil_ops.relax_jacobi(

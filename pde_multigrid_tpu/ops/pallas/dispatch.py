@@ -89,13 +89,15 @@ class PallasKernels(JnpKernels):
                     gc, gf, dtype, mode, interpret=interpret
                 )
 
-    def relax(self, l, v, f, aux, nsweeps):
+    def relax(self, l, v, f, aux, nsweeps, f_zero=False):
         dfn = self._defect_fns[l]
         if dfn is not None and nsweeps >= _defect_min_sweeps():
             return dfn(v, f, nsweeps)
         fn = self._relax_fns[l]
         if fn is None:
             return super().relax(l, v, f, aux, nsweeps)
+        if f_zero and getattr(fn, "supports_f_zero", False):
+            return fn(v, f, nsweeps, f_zero=True)
         return fn(v, f, nsweeps)
 
     def residual(self, l, v, f, aux):

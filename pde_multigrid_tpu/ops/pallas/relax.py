@@ -29,6 +29,7 @@ differ only by reciprocal-vs-divide rounding.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -384,10 +385,10 @@ def make_slab_relax(
             functools.partial(kernel, nsweeps_here=nsweeps_here),
             out_shape=jax.ShapeDtypeStruct((rem_start,) + tail, dtype),
             in_specs=[
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
-            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, loc_rows) + tail, dtype),
                 pltpu.VMEM((2, loc_rows) + tail, dtype),
@@ -1032,10 +1033,10 @@ def make_split_slab_relax(
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, loc) + tail, dtype),
@@ -1135,9 +1136,14 @@ def make_split_color_slab_2d(
     geom)` via an `nbr(axis, off)` callback, and per-color coefficient
     fields reuse `problem.kernel_precompute` evaluated at the color's
     own (x, y) coordinates.  x uses the same sublane-aligned trapezoidal
-    slab scheme as make_slab_relax (8-row halo covers T <= 4 sweeps per
-    HBM round trip for free).  Non-wrap (padded) storage only: lane/
-    sublane rolls wrap onto discarded halo margins or masked padding.
+    slab scheme as make_slab_relax; each red+black sweep consumes 2 halo
+    rows per x-DEPENDENT side, and the per-side halo is
+    round_up(2T, 8) only on sides the stencil actually reads
+    (`problem.split2d_x_offsets`, default symmetric) — for one-sided
+    stencils (Lyapunov reads only x+1) the bottom halo is dropped
+    entirely, cutting the redundant-compute overhead in half.  Non-wrap
+    (padded) storage only: lane/sublane rolls wrap onto discarded halo
+    margins or masked padding.
     """
     assert geom.ndim == 2 and not geom.wrap
     X, Y = geom.padded_shape
@@ -1148,9 +1154,11 @@ def make_split_color_slab_2d(
     Y2p = _round_up(Y2, 128)
     B = slab_rows
     T = sweeps_per_call
-    assert 1 <= T <= 4
-    HALO = 8
-    ext = B + 2 * HALO
+    x_offs = tuple(getattr(problem, "split2d_x_offsets", (-1, +1)))
+    halo = _round_up(2 * T, 8)
+    halo_lo = halo if -1 in x_offs else 0
+    halo_hi = halo if +1 in x_offs else 0
+    ext = B + halo_lo + halo_hi
     assert B % 8 == 0 and X % 8 == 0 and X >= ext
     nblk = X // B
     rem_start = nblk * B
@@ -1158,28 +1166,24 @@ def make_split_color_slab_2d(
     max_start = X - ext
     ny = geom.shape[0 + 1]
 
-    def kernel(
-        rv_hbm,
-        bv_hbm,
-        rf_hbm,
-        bf_hbm,
-        ro_hbm,
-        bo_hbm,
-        rvb,
-        bvb,
-        rfb,
-        bfb,
-        in_sem,
-        out_sem,
-        *,
-        nsweeps_here,
-    ):
-        bufs = (rvb, bvb, rfb, bfb)
-        hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+    def kernel(*refs, nsweeps_here, with_f):
+        # with_f=False drops the RHS streams entirely (finest-level legs
+        # of problems with rhs_is_zero: Lyapunov's f == 0): 4 -> 2 HBM
+        # in-streams and one fewer multiply-add per point per sweep.
+        if with_f:
+            (rv_hbm, bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, rfb, bfb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb, rfb, bfb)
+            hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+        else:
+            (rv_hbm, bv_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb)
+            hbms = (rv_hbm, bv_hbm)
 
         def start_units(p):
             return jnp.clip(
-                p * (B // 8) - HALO // 8, 0, max_start // 8
+                p * (B // 8) - halo_lo // 8, 0, max_start // 8
             )
 
         def start_of(p):
@@ -1275,7 +1279,7 @@ def make_split_color_slab_2d(
                 (xf, yf(y_b)), geom, dtype
             )
             r, b = rvb[slot], bvb[slot]
-            fr, fb = rfb[slot], bfb[slot]
+            fr, fb = (rfb[slot], bfb[slot]) if with_f else (None, None)
 
             def one_sweep(_, rb):
                 r, b = rb
@@ -1307,24 +1311,25 @@ def make_split_color_slab_2d(
                 d.wait()
 
     @functools.lru_cache(maxsize=None)
-    def build(nsweeps_here: int):
+    def build(nsweeps_here: int, with_f: bool = True):
+        nin = 4 if with_f else 2
         call = pl.pallas_call(
-            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            functools.partial(
+                kernel, nsweeps_here=nsweeps_here, with_f=with_f
+            ),
             out_shape=(
                 jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
                 jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nin,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, ext, Y2p), dtype),
-                pltpu.VMEM((2, ext, Y2p), dtype),
-                pltpu.VMEM((2, ext, Y2p), dtype),
-                pltpu.VMEM((2, ext, Y2p), dtype),
-                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.VMEM((2, ext, Y2p), dtype) for _ in range(nin)
+            ] + [
+                pltpu.SemaphoreType.DMA((2, nin)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             interpret=interpret,
@@ -1332,8 +1337,8 @@ def make_split_color_slab_2d(
         if rem_start == X:
             return call
 
-        def with_tail(r, b, fr, fb):
-            ro, bo = call(r, b, fr, fb)
+        def with_tail(r, b, *fs):
+            ro, bo = call(r, b, *fs)
             return (
                 jnp.concatenate([ro, r[rem_start:]], axis=0),
                 jnp.concatenate([bo, b[rem_start:]], axis=0),
@@ -1343,28 +1348,31 @@ def make_split_color_slab_2d(
 
     qx = _qx_mask(X)
 
-    def relax(v, f, nsweeps: int):
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
         def pad(a):
             return jnp.pad(a, ((0, 0), (0, Y2p - Y2)))
 
         r, b = (pad(a) for a in split_colors_2d(v, qx))
-        fr, fb = (pad(a) for a in split_colors_2d(f, qx))
+        fs = () if f_zero else tuple(
+            pad(a) for a in split_colors_2d(f, qx)
+        )
         n_full, rem = divmod(nsweeps, T)
         if n_full:
-            full = build(T)
+            full = build(T, not f_zero)
             if n_full == 1:
-                r, b = full(r, b, fr, fb)
+                r, b = full(r, b, *fs)
             else:
                 r, b = lax.fori_loop(
                     0,
                     n_full,
-                    lambda _, rb: full(rb[0], rb[1], fr, fb),
+                    lambda _, rb: full(rb[0], rb[1], *fs),
                     (r, b),
                 )
         if rem:
-            r, b = build(rem)(r, b, fr, fb)
+            r, b = build(rem, not f_zero)(r, b, *fs)
         return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
 
+    relax.supports_f_zero = True
     return relax
 
 
@@ -1607,10 +1615,10 @@ def make_split_slab_relax_2d(
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
             out_specs=(
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
                 pltpu.VMEM((2, loc_x, loc_j, Z), dtype),
@@ -1664,6 +1672,11 @@ SLAB_VMEM_BUDGET = 12 * 2**20  # against the 16MB scoped-vmem hard limit
 # T=2 is marginally SLOWER end-to-end (27.3 vs 26.5 ms/step) and doubles
 # Mosaic compile time — the DMA prefetch already hides most traffic.
 SPLIT_SWEEPS_PER_CALL = 1
+# ... but the 2D split slab (2049^2 Lyapunov) is different: its one-sided
+# halo is nearly free (round_up(2T, 8) rows on ONE side), so more sweeps
+# per round trip amortize both HBM traffic AND the per-block coefficient
+# precompute.  Env-tunable for hardware A/Bs (scripts/ab_split2d_t.py).
+SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "4"))
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -1789,8 +1802,12 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         and shape[1] // 2 >= 512
     ):
         half_row = _round_up(shape[1] // 2, 128) * 4
+        T2 = SPLIT2D_T
+        n_sides = len(
+            {s for s in getattr(problem, "split2d_x_offsets", (-1, 1))}
+        )
         for B in (64, 32, 16, 8):
-            ext = B + 16
+            ext = B + n_sides * _round_up(2 * T2, 8)
             if shape[0] < ext:
                 continue
             if (shape[0] // B) * B < geom.shape[0] - 1:
@@ -1798,7 +1815,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
             if half_row * 12 * ext <= SLAB_VMEM_BUDGET:
                 return make_split_color_slab_2d(
                     problem, geom, dtype, B,
-                    sweeps_per_call=4, interpret=interpret,
+                    sweeps_per_call=T2, interpret=interpret,
                 )
     if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
         return None

@@ -53,7 +53,7 @@ class ShardedKernels(JnpKernels):
                     )
             self._sharded_relax.append(fn)
 
-    def relax(self, l, v, f, aux, nsweeps):
+    def relax(self, l, v, f, aux, nsweeps, f_zero=False):
         fn = self._sharded_relax[l]
         if fn is None:
             return super().relax(l, v, f, aux, nsweeps)

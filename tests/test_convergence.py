@@ -154,3 +154,59 @@ def test_vcycle_monotone_nontrivial_history():
     r = solve(Poisson(2), 33, "v", 0, 2, 2, cycles=5)
     h = np.array(r.residual_history)
     assert (h[1:3] < h[:2]).all()
+
+
+# ------------------------------------------- f_zero static-RHS leg threading
+
+
+def test_f_zero_threading():
+    """CycleProgram passes f_zero=True exactly on the RHS-carrying relax
+    legs (root level of each V-cycle invoked on cascaded RHS) of
+    rhs_is_zero problems, and never on restricted-residual legs."""
+    from pde_multigrid_tpu.cycles import CycleProgram, JnpKernels
+    from pde_multigrid_tpu.grid import Hierarchy
+
+    prob = Lyapunov2D()
+    assert prob.rhs_is_zero
+    h = Hierarchy.build(prob, 17)
+
+    calls = []
+
+    class Recording(JnpKernels):
+        def relax(self, l, v, f, aux, nsweeps, f_zero=False):
+            calls.append((l, f_zero))
+            return super().relax(l, v, f, aux, nsweeps)
+
+    prog = CycleProgram(
+        prob, h.geoms, CycleConfig("fmg", 1, 1, 1),
+        kernels=Recording(prob, h.geoms),
+    )
+    prog.solve_step(tuple(h.levels))
+    # FMG upward leg: each level is visited as a V-cycle ROOT (cascaded
+    # zero RHS -> f_zero=True there) and as an interior level of finer
+    # roots' cycles (restricted residual -> False)
+    roots = {l for (l, fz) in calls if fz}
+    nonroots = {l for (l, fz) in calls if not fz}
+    nlev = len(h.geoms)
+    # every level is an FMG root once (coarsest='relax' relaxes it too)
+    assert roots == set(range(nlev))
+    assert nonroots == set(range(1, nlev))
+
+    calls.clear()
+    prog2 = CycleProgram(
+        prob, h.geoms, CycleConfig("v", 0, 1, 1),
+        kernels=Recording(prob, h.geoms),
+    )
+    prog2.solve_step(tuple(h.levels))
+    assert [(l, fz) for (l, fz) in calls if fz] == [(0, True), (0, True)]
+
+    # non-zero-RHS problem: never f_zero
+    calls.clear()
+    p3 = Poisson(3)
+    h3 = Hierarchy.build(p3, 17)
+    prog3 = CycleProgram(
+        p3, h3.geoms, CycleConfig("fmg", 1, 1, 1),
+        kernels=Recording(p3, h3.geoms),
+    )
+    prog3.solve_step(tuple(h3.levels))
+    assert not any(fz for (_, fz) in calls)

@@ -484,7 +484,7 @@ def test_fused_prolong_blend_matches_jnp(mode, block_rows):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.parametrize("B,T", [(8, 1), (8, 4), (16, 2)])
+@pytest.mark.parametrize("B,T", [(8, 1), (8, 4), (16, 2), (8, 8)])
 def test_split_color_slab_2d_matches_jnp(B, T):
     """2D color-split slab kernel (padded storage, lane-dim split,
     q = x%2) == dense masked relaxation for both the one-sided Lyapunov
@@ -509,5 +509,33 @@ def test_split_color_slab_2d_matches_jnp(B, T):
             want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, ns))
             np.testing.assert_allclose(
                 got, want, rtol=2e-5, atol=2e-6,
+                err_msg=f"{prob.name} B={B} T={T} ns={ns}",
+            )
+
+
+@pytest.mark.parametrize("B,T", [(8, 1), (8, 4)])
+def test_split_color_slab_2d_f_zero(B, T):
+    """f_zero=True (RHS stream dropped from the kernel entirely) ==
+    relaxing against an explicit zero RHS, regardless of what garbage is
+    passed as f."""
+    for prob in (Lyapunov2D(), Poisson(2)):
+        h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
+        geom = h.geoms[0]
+        v = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        garbage = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        zeros = jnp.zeros(geom.padded_shape, jnp.float32)
+        fn = R.make_split_color_slab_2d(
+            prob, geom, F32, B, sweeps_per_call=T, interpret=True
+        )
+        assert fn.supports_f_zero
+        for ns in (1, 5):
+            got = np.asarray(fn(v, garbage, ns, f_zero=True))
+            want = np.asarray(fn(v, zeros, ns))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-6, atol=1e-7,
                 err_msg=f"{prob.name} B={B} T={T} ns={ns}",
             )
