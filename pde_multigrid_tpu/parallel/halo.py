@@ -14,14 +14,27 @@ interior masks (rebuilt from the traced global row offset) never read.
 The RHS halo is exchanged once per relax leg (f is constant); only v moves
 per chunk.  Communication volume per sweep: 2 * (2T planes) / T = 4 planes
 amortized — independent of local size, so it vanishes for fat shards.
-XLA's async collective scheduling is free to overlap the ppermute with the
-interior update, since the owned-core rows are data-independent of the
-incoming halo until the combine.
+
+Compute/communication overlap (SURVEY.md §5: "overlap halo transfer with
+interior relaxation", the stencil analogue of ring attention's
+compute/comm overlap): with overlap enabled (default), each chunk sweeps
+the WHOLE local slab immediately — no data dependence on the in-flight
+ppermute, so XLA can run the collective concurrently — which leaves the
+middle rows [2T, x_loc-2T) exact (stale-edge corruption advances 2 rows
+per red+black sweep).  The 2T-row edge strips are then recomputed from
+the ORIGINAL pre-chunk values plus the arrived halos (a 6T-row
+trapezoid per side whose center 2T rows come out exact) and stitched in.
+Every emitted row sees the identical pointwise update sequence as under
+the serial exchange->sweep schedule, so the results agree to kernel-tier
+rounding (bitwise within one tier; tests/test_parallel.py asserts both
+schedules against the unsharded solver); the price is 4T extra
+redundant rows of compute per chunk, vanishing for fat shards.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +47,10 @@ from pde_multigrid_tpu.parallel.mesh import SHARD_AXIS
 
 Array = jax.Array
 
+# overlap the halo ppermute with interior relaxation (env-gated for A/B
+# on real multi-chip hardware; correctness is schedule-independent)
+HALO_OVERLAP = os.environ.get("PDE_MG_HALO_OVERLAP", "1") != "0"
+
 
 def make_sharded_relax(
     problem,
@@ -42,6 +59,7 @@ def make_sharded_relax(
     dtype,
     sweeps_per_exchange: int = 1,
     use_pallas: bool | None = None,
+    overlap: bool | None = None,
 ):
     """Build relax(v, f, nsweeps) running under shard_map on `mesh`.
 
@@ -66,10 +84,18 @@ def make_sharded_relax(
     spec = P(SHARD_AXIS, *([None] * (nd - 1)))
     fwd = [(j, (j + 1) % n) for j in range(n)]
     bwd = [(j, (j - 1) % n) for j in range(n)]
+    # overlapped schedule needs original 2*halo-row edge strips intact
+    do_overlap = (HALO_OVERLAP if overlap is None else overlap) and (
+        x_loc >= 2 * halo
+    )
 
     # per-shard Pallas kernel for the T-sweep chunk (the multi-chip hot
-    # path analogue of the single-chip resident kernel)
-    ext_shape = (x_loc + 2 * halo,) + tuple(geom.padded_shape[1:])
+    # path analogue of the single-chip resident kernel); under the
+    # overlapped schedule it sweeps the halo-free local slab (the edge
+    # trapezoids are tiny — 6T rows — and stay on the jnp tier)
+    ext_shape = (
+        (x_loc,) if do_overlap else (x_loc + 2 * halo,)
+    ) + tuple(geom.padded_shape[1:])
     pallas_chunk = None
     if use_pallas is not False and nd >= 2:
         from pde_multigrid_tpu.models.base import ProblemBase
@@ -121,18 +147,17 @@ def make_sharded_relax(
             return one(0, v_ext)
         return lax.fori_loop(0, t, one, v_ext)
 
+    tail = tuple(geom.padded_shape[1:])
+
     @functools.lru_cache(maxsize=None)
     def build(nsweeps: int):
         n_chunks, rem = divmod(nsweeps, T)
 
-        def local_relax(v_loc, f_loc):
+        def local_relax_serial(v_loc, f_loc):
             i = lax.axis_index(SHARD_AXIS)
             g0 = i * x_loc - halo  # global row of ext row 0
-            ext_shape = (x_loc + 2 * halo,) + tuple(
-                geom.padded_shape[1:]
-            )
             pre, m_red, m_black = _coords_and_masks(
-                problem, geom, ext_shape, g0, dtype
+                problem, geom, (x_loc + 2 * halo,) + tail, g0, dtype
             )
             fl, fr = _exchange(f_loc)  # f halos: once per leg
             f_ext = jnp.concatenate([fl, f_loc, fr], axis=0)
@@ -155,6 +180,68 @@ def make_sharded_relax(
             if rem:
                 v_loc = chunk(v_loc, rem)
             return v_loc
+
+        def local_relax_overlap(v_loc, f_loc):
+            i = lax.axis_index(SHARD_AXIS)
+            h = halo
+            # window masks/coefficients, once per leg: middle = the
+            # halo-free local slab; top/bot = 3h-row edge trapezoids
+            pre_m, mr_m, mb_m = _coords_and_masks(
+                problem, geom, (x_loc,) + tail, i * x_loc, dtype
+            )
+            pre_t, mr_t, mb_t = _coords_and_masks(
+                problem, geom, (3 * h,) + tail, i * x_loc - h, dtype
+            )
+            pre_b, mr_b, mb_b = _coords_and_masks(
+                problem,
+                geom,
+                (3 * h,) + tail,
+                i * x_loc + x_loc - 2 * h,
+                dtype,
+            )
+            fl, fr = _exchange(f_loc)  # f halos: once per leg
+            f_top = jnp.concatenate([fl, f_loc[: 2 * h]], axis=0)
+            f_bot = jnp.concatenate([f_loc[-2 * h :], fr], axis=0)
+
+            def chunk(v_loc, t):
+                # halos in flight while the whole local slab sweeps —
+                # rows [h, x_loc-h) come out exact
+                vl, vr = _exchange(v_loc)
+                if pallas_chunk is not None:
+                    mid = pallas_chunk(
+                        v_loc, f_loc, pre_m, mr_m, mb_m, t
+                    )
+                else:
+                    mid = _sweeps(v_loc, f_loc, pre_m, mr_m, mb_m, t)
+                # edge trapezoids from ORIGINAL values + arrived halos
+                top = _sweeps(
+                    jnp.concatenate([vl, v_loc[: 2 * h]], axis=0),
+                    f_top, pre_t, mr_t, mb_t, t,
+                )
+                bot = _sweeps(
+                    jnp.concatenate([v_loc[-2 * h :], vr], axis=0),
+                    f_bot, pre_b, mr_b, mb_b, t,
+                )
+                return jnp.concatenate(
+                    [
+                        top[h : 2 * h],
+                        mid[h : x_loc - h],
+                        bot[h : 2 * h],
+                    ],
+                    axis=0,
+                )
+
+            if n_chunks:
+                v_loc = lax.fori_loop(
+                    0, n_chunks, lambda _, v: chunk(v, T), v_loc
+                )
+            if rem:
+                v_loc = chunk(v_loc, rem)
+            return v_loc
+
+        local_relax = (
+            local_relax_overlap if do_overlap else local_relax_serial
+        )
 
         return jax.shard_map(
             local_relax,

@@ -148,6 +148,56 @@ def test_halo_exchange_multi_chunk_sweeps():
     )
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("T", [1, 2])
+def test_halo_overlap_matches_serial_schedule(T):
+    """Overlapped halo schedule (interior sweeps while the ppermute is in
+    flight, edge trapezoids recomputed from pre-chunk values + arrived
+    halos) == the serial exchange->sweep schedule == the unsharded
+    reference."""
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.parallel import halo
+    from pde_multigrid_tpu.ops import stencil
+    import jax.numpy as jnp
+
+    for prob in (Poisson(2), Lyapunov2D()):
+        mesh = pmesh.make_mesh(8)
+        h = Hierarchy.build(prob, 65, pad_axis0_to=8)
+        lvl, geom = h.levels[0], h.geoms[0]
+        rng = np.random.default_rng(9)
+        v = jnp.asarray(
+            rng.standard_normal(geom.padded_shape), jnp.float32
+        )
+        f = jnp.asarray(
+            rng.standard_normal(geom.padded_shape), jnp.float32
+        )
+        want = stencil.relax_rbgs(
+            lambda vv, ff: prob.relax_update(vv, ff, geom, lvl.aux),
+            v, f, lvl.aux["m_red"], lvl.aux["m_black"], 5,
+        )
+        outs = {}
+        for ov in (False, True):
+            fn = halo.make_sharded_relax(
+                prob, geom, mesh, jnp.dtype("float32"),
+                sweeps_per_exchange=T, overlap=ov,
+            )
+            outs[ov] = np.asarray(
+                fn(
+                    jax.device_put(v, pmesh.level_sharding(mesh, geom)),
+                    jax.device_put(f, pmesh.level_sharding(mesh, geom)),
+                    5,
+                )
+            )
+        np.testing.assert_allclose(
+            outs[True], outs[False], rtol=1e-6, atol=1e-7,
+            err_msg=f"{prob.name} T={T} overlap vs serial",
+        )
+        np.testing.assert_allclose(
+            outs[True], np.asarray(want), rtol=2e-5, atol=2e-6,
+            err_msg=f"{prob.name} T={T} overlap vs unsharded",
+        )
+
+
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
 def test_sharded_coarse_levels_replicated():
     solver = _solve(Poisson(2), 33, pad0=4)
