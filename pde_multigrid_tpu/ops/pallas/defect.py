@@ -308,10 +308,16 @@ def plan_defect_relax(
     if rsplit is None or fold is None:
         return None
     zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)
+    in_kernel_zero = getattr(inner, "supports_v_zero", False)
 
     def relax(v, f, nsweeps: int):
         rr, rb = rsplit(v, f)
-        er, eb = inner(zero(), zero(), rr, rb, nsweeps)
+        if in_kernel_zero:
+            # E_0 = 0 statically: the first chunk runs without the error
+            # halves' HBM streams (no materialized zero arrays either)
+            er, eb = inner(None, None, rr, rb, nsweeps, v_zero=True)
+        else:
+            er, eb = inner(zero(), zero(), rr, rb, nsweeps)
         return fold(er, eb, v)
 
     return relax

@@ -892,26 +892,22 @@ def make_split_slab_relax(
     max_start = X - ext
     tail = (Y2, Z)
 
-    def kernel(
-        rv_hbm,
-        bv_hbm,
-        rf_hbm,
-        bf_hbm,
-        ro_hbm,
-        bo_hbm,
-        rvb,
-        bvb,
-        rfb,
-        bfb,
-        mr_ref,
-        mb_ref,
-        in_sem,
-        out_sem,
-        *,
-        nsweeps_here,
-    ):
-        bufs = (rvb, bvb, rfb, bfb)
-        hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+    def kernel(*refs, nsweeps_here, with_v):
+        # with_v=False: the iterate halves are statically zero (first
+        # chunk of a defect-correction leg: error E_0 = 0) — their HBM
+        # streams vanish and sweeps start from in-register zeros.
+        if with_v:
+            (rv_hbm, bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, rfb, bfb, mr_ref, mb_ref, in_sem, out_sem) = refs
+        else:
+            (rf_hbm, bf_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, rfb, bfb, mr_ref, mb_ref, in_sem, out_sem) = refs
+        bufs = (rvb, bvb, rfb, bfb) if with_v else (rfb, bfb)
+        hbms = (
+            (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+            if with_v
+            else (rf_hbm, bf_hbm)
+        )
 
         def start_of(p):
             return jnp.clip(p * B - halo, 0, max_start)
@@ -985,7 +981,12 @@ def make_split_slab_relax(
             rv_x = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(cdt)
             m_r = mr_ref[:] * rv_x
             m_b = mb_ref[:] * rv_x
-            r, b = rvb[slot].astype(cdt), bvb[slot].astype(cdt)
+            if with_v:
+                r = rvb[slot].astype(cdt)
+                b = bvb[slot].astype(cdt)
+            else:
+                r = jnp.zeros((loc,) + tail, cdt)
+                b = jnp.zeros((loc,) + tail, cdt)
             fr, fb = rfb[slot].astype(cdt), bfb[slot].astype(cdt)
 
             def one_sweep(_, rb):
@@ -1026,14 +1027,17 @@ def make_split_slab_relax(
                 d.wait()
 
     @functools.lru_cache(maxsize=None)
-    def build(nsweeps_here: int):
+    def build(nsweeps_here: int, with_v: bool = True):
+        nin = 4 if with_v else 2
         return pl.pallas_call(
-            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            functools.partial(
+                kernel, nsweeps_here=nsweeps_here, with_v=with_v
+            ),
             out_shape=(
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
                 jax.ShapeDtypeStruct((X,) + tail, dtype),
             ),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nin,
             out_specs=(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec(memory_space=pl.ANY),
@@ -1045,16 +1049,23 @@ def make_split_slab_relax(
                 pltpu.VMEM((2, loc) + tail, dtype),
                 pltpu.VMEM((loc,) + tail, cdt),
                 pltpu.VMEM((loc,) + tail, cdt),
-                pltpu.SemaphoreType.DMA((2, 4)),
+                pltpu.SemaphoreType.DMA((2, nin)),
                 pltpu.SemaphoreType.DMA((2, 2)),
             ],
             interpret=interpret,
         )
 
-    def relax_raw(r, b, fr, fb, nsweeps: int):
+    def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
         """Sweep already-color-split (X, Y/2, Z) arrays (defect.py feeds
-        this with bf16 error/residual halves)."""
+        this with bf16 error/residual halves).  v_zero=True: r/b are
+        statically zero (pass None) — the first chunk runs without their
+        HBM streams, starting from in-register zeros."""
         n_full, rem = divmod(nsweeps, T)
+        if v_zero:
+            t0 = T if n_full else rem
+            r, b = build(t0, False)(fr, fb)
+            left = nsweeps - t0
+            n_full, rem = divmod(left, T)
         if n_full:
             full = build(T)
             if n_full == 1:
@@ -1070,6 +1081,7 @@ def make_split_slab_relax(
             r, b = build(rem)(r, b, fr, fb)
         return r, b
 
+    relax_raw.supports_v_zero = True
     if raw:
         return relax_raw
 

@@ -167,3 +167,26 @@ def test_defect_planner_covers_257_class():
     finally:
         D.DEFECT_2D = False
     assert fn is not None
+
+
+def test_split_slab_v_zero_first_chunk():
+    """relax_raw(v_zero=True) (iterate halves statically zero, no HBM
+    stream for them on the first chunk) == relax_raw from explicit zero
+    halves, for nsweeps below and above T."""
+    prob, lvl, geom, v, f = _wrap_level(33)
+    X, Y, Z = geom.padded_shape
+    fn = R.make_split_slab_relax(
+        prob, geom, F32, 4, sweeps_per_call=2, interpret=True, raw=True
+    )
+    assert fn.supports_v_zero
+    qb = R._split_qmask(X, Z)
+    fr, fb = R.split_colors(f, qb)
+    z = jnp.zeros((X, Y // 2, Z), F32)
+    for ns in (1, 2, 5):
+        got = fn(None, None, fr, fb, ns, v_zero=True)
+        want = fn(z, z, fr, fb, ns)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-7,
+                err_msg=f"ns={ns}",
+            )
