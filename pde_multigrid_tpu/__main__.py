@@ -209,7 +209,17 @@ def main(argv=None):
         levels, meta = load_levels(args.resume, solver)
         print(f"resumed from {args.resume}: {meta}", file=sys.stderr)
 
-    metrics = MetricsLogger(args.metrics) if args.metrics else None
+    # multi-host: file outputs and the summary print belong to process 0
+    # only (all processes would otherwise race on the same paths)
+    is_main = True
+    if args.distributed:
+        import jax
+
+        is_main = jax.process_index() == 0
+
+    metrics = (
+        MetricsLogger(args.metrics) if args.metrics and is_main else None
+    )
     import contextlib
 
     trace_cm = contextlib.nullcontext()
@@ -222,7 +232,7 @@ def main(argv=None):
     if metrics:
         metrics.close()
 
-    if args.checkpoint or args.dump_v:
+    if (args.checkpoint or args.dump_v) and is_main:
         import dataclasses as _dc
 
         lv = solver.fresh_levels()
@@ -244,6 +254,8 @@ def main(argv=None):
                 max_points=100000,
             )
 
+    if not is_main:
+        return
     print(
         json.dumps(
             {

@@ -304,11 +304,13 @@ class CycleProgram:
             if geom.wrap:
                 continue
             lvl = levels[l]
-            bv = self.problem.boundary_values(
-                geom.coords(lvl.v.dtype)
-            ).astype(lvl.v.dtype)
-            m_int, m_log = lvl.aux["m_int"], lvl.aux["m_log"]
-            v = lvl.v * m_int + bv * (m_log - m_int)
+            ring = lvl.aux.get("bv_ring")
+            if ring is None:
+                bv = self.problem.boundary_values(
+                    geom.coords(lvl.v.dtype)
+                ).astype(lvl.v.dtype)
+                ring = bv * (lvl.aux["m_log"] - lvl.aux["m_int"])
+            v = lvl.v * lvl.aux["m_int"] + ring
             levels = _set(levels, l, dataclasses.replace(lvl, v=v))
         # cascade the RHS down (reference FMG restricts fine.f -> coarse.f
         # before recursing, MultiGrid1D.cpp:132-140)

@@ -77,6 +77,13 @@ class ProblemBase:
         m_int, m_log = aux["m_int"], aux["m_log"]
         # Dirichlet data on the logical boundary, zero interior and padding
         v = bv * (m_log - m_int)
+        if not geom.wrap:
+            # solve-time constant: FMG re-imposes the boundary ring every
+            # step (cycles.fmg); hoisting it here keeps the per-step
+            # program free of analytic-solution evaluations.  A distinct
+            # buffer from v — they would otherwise alias, and solvers
+            # donate the level pytree (double-donation error)
+            aux["bv_ring"] = v.copy()
         f = self.rhs(coords).astype(dtype) * m_log
         return Level(v=v, f=f, aux=aux)
 

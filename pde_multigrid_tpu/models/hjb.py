@@ -142,6 +142,13 @@ class HJBMinTime(ProblemBase):
         # origin itself); masks no longer update these points
         w_exact = self.exact_solution((jnp.asarray(x1), jnp.asarray(x2)))
         v = jnp.where(jnp.asarray(pinned), w_exact.astype(lvl.v.dtype), lvl.v)
+        if "bv_ring" in aux:
+            # the hoisted Dirichlet ring (base.init_level) was built from
+            # the PRE-pin masks; rebuild it so cycles.fmg re-imposes the
+            # pinned anchor values too, not zeros
+            aux["bv_ring"] = w_exact.astype(lvl.v.dtype) * (
+                aux["m_log"] - aux["m_int"]
+            )
         return dataclasses.replace(lvl, v=v, aux=aux)
 
     # -- nonlinear operator and relaxation ----------------------------------

@@ -46,6 +46,9 @@ class Lyapunov2D(ProblemBase):
     # the one-sided stencil reads only the +x neighbor: the 2D split
     # slab kernel then carries no bottom halo at all
     split2d_x_offsets = (+1,)
+    # split_update2d handles f=None (RHS term dropped): the kernel may
+    # offer its f_zero fast path
+    split_update2d_f_optional = True
 
     def __init__(
         self,

@@ -41,6 +41,9 @@ class Poisson(ProblemBase):
     which is zero on the boundary of any [0, 1]-aligned box and reduces to
     the thesis test case for ndim=3, k=(1,1,1)."""
 
+    # split_update2d handles f=None (see relax.py f_zero fast path)
+    split_update2d_f_optional = True
+
     def __init__(
         self,
         ndim: int,

@@ -1384,7 +1384,11 @@ def make_split_color_slab_2d(
             r, b = build(rem, not f_zero)(r, b, *fs)
         return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
 
-    relax.supports_f_zero = True
+    # the f_zero fast path calls problem.split_update2d(nbr, None, ...):
+    # only offered when the problem declares it handles a None RHS
+    relax.supports_f_zero = bool(
+        getattr(problem, "split_update2d_f_optional", False)
+    )
     return relax
 
 

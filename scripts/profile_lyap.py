@@ -166,5 +166,10 @@ timed("vcycle_l1_subtree", vc1_j, 1, 3)
 print("\n--- summary ---", flush=True)
 m = RESULTS
 eps = m.get("chain_eps_baseline", 0)
+# components timed through _eps_chain carry the chain's own overhead;
+# subtract the measured baseline for those
+EPS_CHAINED = {"L0_residual_restrict"}
 for k, val in m.items():
-    print(f"{k:24s}: {val*1e3:8.3f} ms", flush=True)
+    corr = val - eps if k in EPS_CHAINED else val
+    note = " (eps-corrected)" if k in EPS_CHAINED else ""
+    print(f"{k:24s}: {corr*1e3:8.3f} ms{note}", flush=True)

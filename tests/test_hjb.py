@@ -117,3 +117,31 @@ def test_hjb_tesi_scheme_diverges_as_reported():
 def test_fas_galerkin_rejected():
     with pytest.raises(ValueError):
         CycleConfig("v", 1, 2, 2, scheme="fas", coarse_operator="galerkin")
+
+
+def test_fmg_preserves_pinned_anchor_cells():
+    """cycles.fmg re-imposes the Dirichlet ring from the hoisted
+    aux['bv_ring'] (models/base.py); HJB pins extra interior anchor
+    cells AFTER the base init built that ring, so it must rebuild it —
+    regression: a stale ring zeroed the W(0)=0 anchor ball every FMG
+    step (exact values replaced by 0, max error 0.63)."""
+    import jax.numpy as jnp
+
+    prob = HJBMinTime()
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 2, 2, scheme="fas"), max_cycles=1
+    )
+    solver = MultigridSolver(prob, 17, cfg)
+    levels = solver.fresh_levels()
+    lvl0, geom = levels[0], solver.geoms[0]
+    pinned = np.asarray(
+        (lvl0.aux["m_log"] - lvl0.aux["m_int"]) > 0.5
+    ) & np.asarray(lvl0.aux["m_int"] == 0)  # ring + pinned ball
+    exact = np.asarray(
+        prob.exact_solution(geom.coords(jnp.float32)), np.float32
+    )
+    out = solver.program.solve_step(tuple(levels))
+    got = np.asarray(out[0].v)
+    np.testing.assert_allclose(
+        got[pinned], exact[pinned], rtol=0, atol=1e-6
+    )
