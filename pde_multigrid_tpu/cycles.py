@@ -314,17 +314,36 @@ class CycleProgram:
             levels = _set(levels, l, dataclasses.replace(lvl, v=v))
         # cascade the RHS down (reference FMG restricts fine.f -> coarse.f
         # before recursing, MultiGrid1D.cpp:132-140)
-        for l in range(nlev - 1):
-            coarse = levels[l + 1]
-            cf = self._fused("restrict_direct", l, levels[l].f, coarse.aux)
-            if cf is None:
-                cf = self.kernels.restrict(
+        if self._rhs_zero:
+            # full weighting of an identically-zero RHS is zero at every
+            # level, exactly — write zeros directly instead of running
+            # the transfer kernels (the coarse f arrays must still be
+            # written: earlier cycles left restricted residuals there)
+            for l in range(1, nlev):
+                coarse = levels[l]
+                levels = _set(
+                    levels,
                     l,
-                    levels[l].f,
-                    coarse.aux["m_int"],
-                    coarse.aux["m_log"],
+                    dataclasses.replace(
+                        coarse, f=jnp.zeros_like(coarse.f)
+                    ),
                 )
-            levels = _set(levels, l + 1, dataclasses.replace(coarse, f=cf))
+        else:
+            for l in range(nlev - 1):
+                coarse = levels[l + 1]
+                cf = self._fused(
+                    "restrict_direct", l, levels[l].f, coarse.aux
+                )
+                if cf is None:
+                    cf = self.kernels.restrict(
+                        l,
+                        levels[l].f,
+                        coarse.aux["m_int"],
+                        coarse.aux["m_log"],
+                    )
+                levels = _set(
+                    levels, l + 1, dataclasses.replace(coarse, f=cf)
+                )
         # coarsest: zero interior, keep Dirichlet boundary
         bot = levels[-1]
         v0 = stencil.set_interior(bot.v, 0.0, bot.aux["m_int"])
