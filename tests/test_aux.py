@@ -132,3 +132,26 @@ def test_cli_driver_smoke():
     assert rec["problem"] == "poisson2d"
     assert rec["error_linf"] < 1e-3
     assert "Finished in about" in out.stderr
+
+
+def test_solve_is_deterministic():
+    """SURVEY.md §5 (race detection row): masked functional updates are
+    race-free by construction, and reductions are deterministic — two
+    identical solves must agree BITWISE, including the residual norms."""
+    import numpy as np
+
+    from pde_multigrid_tpu import (
+        CycleConfig,
+        Lyapunov2D,
+        MultigridSolver,
+        SolverConfig,
+    )
+
+    cfg = SolverConfig(cycle=CycleConfig("fmg", 1, 3, 3), max_cycles=2)
+    outs = []
+    for _ in range(2):
+        r = MultigridSolver(Lyapunov2D(), 65, cfg).solve_to_tolerance()
+        outs.append((np.asarray(r.v), r.residual_l2, r.error_linf))
+    assert np.array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    assert outs[0][2] == outs[1][2]
