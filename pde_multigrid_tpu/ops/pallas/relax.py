@@ -1693,6 +1693,11 @@ SPLIT_SWEEPS_PER_CALL = 1
 # per round trip amortize both HBM traffic AND the per-block coefficient
 # precompute.  Env-tunable for hardware A/Bs (scripts/ab_split2d_t.py).
 SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "4"))
+# smallest half-width (Y/2) level the 2D color-split kernel engages at:
+# below this the per-leg XLA split/merge conversions historically beat
+# the halved arithmetic; f_zero halves the conversion cost on root legs,
+# so the break-even is worth re-measuring (env for hardware A/Bs)
+SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "512"))
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -1815,7 +1820,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         and shape[0] % 8 == 0
         # big levels only: the per-leg XLA split/merge conversions
         # (~0.36 ms) outweigh the halved arithmetic on smaller slabs
-        and shape[1] // 2 >= 512
+        and shape[1] // 2 >= SPLIT2D_MIN_Y2
     ):
         half_row = _round_up(shape[1] // 2, 128) * 4
         T2 = SPLIT2D_T
