@@ -236,6 +236,7 @@ def main():
     _, model_bytes, _ = roofline.cycle_traffic_model(
         solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu,
         precision=args.precision,
+        rhs_zero=getattr(problem, "rhs_is_zero", False),
     )
     pct = roofline.percent_of_roofline(per_step, model_bytes)
     print(

@@ -62,22 +62,25 @@ def relax_traffic(
     resident_budget: int = 9 * 2**20,
     slab_halo_rows: int = 4,
     slab_block_rows: int = 16,
+    f_zero: bool = False,
 ) -> LevelTraffic:
     """HBM-traffic model of one relax leg at one level.
 
     Resident levels (fit in VMEM): one read of v and f plus one write of
     v per LEG regardless of nu.  Slab levels: per sweep, v and f are read
     with the trapezoidal halo factor (B + halo)/B and v is written once.
+    f_zero: the RHS stream is statically dropped (relax.py f_zero path).
     """
     stored = _stored_points(geom.padded_shape)
     arr_bytes = stored * dtype_size
     resident = arr_bytes * 7 <= resident_budget
+    n_reads = 1 if f_zero else 2
     if resident:
-        per_leg = 3 * arr_bytes  # read v, read f, write v — whole leg
+        per_leg = (n_reads + 1) * arr_bytes  # reads + write v, whole leg
         per_sweep = per_leg / max(sweeps, 1)
     else:
         halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
-        per_sweep = arr_bytes * (2 * halo_f + 1)
+        per_sweep = arr_bytes * (n_reads * halo_f + 1)
     return LevelTraffic(
         level=-1,
         stored_points=stored,
@@ -97,6 +100,7 @@ def cycle_traffic_model(
     mu: int = 1,
     dtype_size: int = 4,
     precision: str = "f32",
+    rhs_zero: bool = False,
 ):
     """Per-level relax-leg counts and traffic for a V/FMG schedule (the
     transfer ops add one ~3-array pass per instance — folded in as a
@@ -104,22 +108,28 @@ def cycle_traffic_model(
 
     precision="mixed": slab-tier sweeps stream bf16 error/residual halves
     (half the per-sweep bytes) plus ~5 f32 array passes per relax leg for
-    the residual-split and merge-fold kernels (ops/pallas/defect.py)."""
+    the residual-split and merge-fold kernels (ops/pallas/defect.py).
+
+    rhs_zero: the problem's RHS is identically zero, so RHS-carrying legs
+    (cycle roots) drop the f stream (cycles.CycleProgram f_zero)."""
     nlev = len(geoms)
     legs = [0] * nlev
+    legs_f0 = [0] * nlev  # RHS-carrying legs of rhs_zero problems
 
-    def v_cycle(l):
+    def v_cycle(l, f_is_rhs):
         legs[l] += 2  # nu1 + nu2 legs
+        if rhs_zero and f_is_rhs:
+            legs_f0[l] += 2
         if l < nlev - 1:
             for _ in range(mu):
-                v_cycle(l + 1)
+                v_cycle(l + 1, False)
 
     if kind in ("v", "w"):
-        v_cycle(0)
+        v_cycle(0, True)
     elif kind == "fmg":
         for root in range(nlev):
             for _ in range(nu0):
-                v_cycle(root)
+                v_cycle(root, True)
     else:
         raise ValueError(kind)
 
@@ -128,15 +138,32 @@ def cycle_traffic_model(
     total_updates = 0.0
     for l, g in enumerate(geoms):
         nu = (nu1 + nu2) // 2 or 1
-        t = relax_traffic(g, nu, dtype_size)
-        t = dataclasses.replace(t, level=l, sweeps=legs[l] * nu)
-        if precision == "mixed" and not t.resident and nu >= 8:
-            per_leg_extra = 5.0 * t.stored_points * dtype_size
-            t = dataclasses.replace(
-                t,
-                bytes_per_sweep=t.bytes_per_sweep / 2
-                + per_leg_extra / nu,
-            )
+
+        def leg_traffic(n_legs, f_zero):
+            t = relax_traffic(g, nu, dtype_size, f_zero=f_zero)
+            t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
+            if precision == "mixed" and not t.resident and nu >= 8:
+                per_leg_extra = 5.0 * t.stored_points * dtype_size
+                t = dataclasses.replace(
+                    t,
+                    bytes_per_sweep=t.bytes_per_sweep / 2
+                    + per_leg_extra / nu,
+                )
+            return t
+
+        t0 = leg_traffic(legs_f0[l], True)
+        t = leg_traffic(legs[l] - legs_f0[l], False)
+        t = dataclasses.replace(
+            t,
+            sweeps=t.sweeps + t0.sweeps,
+            bytes_per_sweep=(
+                (
+                    t.bytes_per_sweep * t.sweeps
+                    + t0.bytes_per_sweep * t0.sweeps
+                )
+                / max(t.sweeps + t0.sweeps, 1)
+            ),
+        )
         rows.append(t)
         total_bytes += t.bytes_total
         total_updates += t.interior_points * t.sweeps
