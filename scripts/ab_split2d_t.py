@@ -7,6 +7,7 @@ Within-process comparison only (shared TPU pool).  Two-nu fits per T
 separate fixed cost from per-sweep slope.
 """
 
+import os
 import sys
 import time
 
@@ -23,6 +24,11 @@ from pde_multigrid_tpu.ops.pallas import relax as relax_mod
 
 def run(n, nu, reps, t_val):
     relax_mod.SPLIT2D_T = t_val
+    # optional: also override the split-kernel engagement size (e.g.
+    # AB_MIN_Y2=256 pulls 513^2-class levels off the dense slab tier)
+    my2 = os.environ.get("AB_MIN_Y2")
+    if my2:
+        relax_mod.SPLIT2D_MIN_Y2 = int(my2)
     cfg = SolverConfig(
         cycle=CycleConfig("fmg", 2, nu, nu, coarsest="exact"),
         backend="auto",
