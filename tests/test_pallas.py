@@ -539,3 +539,25 @@ def test_split_color_slab_2d_f_zero(B, T):
                 got, want, rtol=1e-6, atol=1e-7,
                 err_msg=f"{prob.name} B={B} T={T} ns={ns}",
             )
+
+
+def test_split2d_min_y2_gate_full_solve():
+    """Lowering SPLIT2D_MIN_Y2 engages the 2D color-split kernel on
+    small levels; a full forced-pallas lyapunov solve must still match
+    the jnp tier (exercises the planner + f_zero threading end-to-end)."""
+    from pde_multigrid_tpu import Lyapunov2D as L2D
+
+    orig = R.SPLIT2D_MIN_Y2
+    try:
+        R.SPLIT2D_MIN_Y2 = 16
+        cfg_p = SolverConfig(
+            cycle=CycleConfig("fmg", 1, 2, 2), backend="pallas",
+            pad_last_to=128,
+        )
+        rp = MultigridSolver(L2D(), 33, cfg_p).solve()
+    finally:
+        R.SPLIT2D_MIN_Y2 = orig
+    cfg_j = SolverConfig(cycle=CycleConfig("fmg", 1, 2, 2), backend="jnp")
+    rj = MultigridSolver(L2D(), 33, cfg_j).solve()
+    assert abs(rp.error_linf - rj.error_linf) < 1e-5
+    assert abs(rp.residual_l2 - rj.residual_l2) < 1e-5
