@@ -308,7 +308,13 @@ def plan_defect_relax(
     if rsplit is None or fold is None:
         return None
     zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)
-    in_kernel_zero = getattr(inner, "supports_v_zero", False)
+    # kill switch for the in-kernel zero-start first chunk (untested
+    # Mosaic variants can be disabled without a code change)
+    import os
+
+    in_kernel_zero = getattr(inner, "supports_v_zero", False) and (
+        os.environ.get("PDE_MG_DEFECT_VZERO", "1") != "0"
+    )
 
     def relax(v, f, nsweeps: int):
         rr, rb = rsplit(v, f)
