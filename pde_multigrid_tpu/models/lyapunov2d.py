@@ -46,9 +46,10 @@ class Lyapunov2D(ProblemBase):
     # the one-sided stencil reads only the +x neighbor: the 2D split
     # slab kernel then carries no bottom halo at all
     split2d_x_offsets = (+1,)
-    # split_update2d handles f=None (RHS term dropped): the kernel may
-    # offer its f_zero fast path
+    # split_update2d / kernel_update handle f=None (RHS term dropped):
+    # kernels may offer their f_zero fast paths
     split_update2d_f_optional = True
+    kernel_update_f_optional = True
 
     def __init__(
         self,
@@ -138,7 +139,8 @@ class Lyapunov2D(ProblemBase):
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         east = self.shift(v, 0, +1)
         south = self.shift(v, 1, +1)
-        return east * pre["a_e"] + south * pre["a_s"] + f * pre["a_f"]
+        upd = east * pre["a_e"] + south * pre["a_s"]
+        return upd if f is None else upd + f * pre["a_f"]
 
     def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
         """Local solve on 2D color-split storage (relax.

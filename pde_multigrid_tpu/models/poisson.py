@@ -41,8 +41,9 @@ class Poisson(ProblemBase):
     which is zero on the boundary of any [0, 1]-aligned box and reduces to
     the thesis test case for ndim=3, k=(1,1,1)."""
 
-    # split_update2d handles f=None (see relax.py f_zero fast path)
+    # split_update2d / kernel_update handle f=None (relax.py f_zero paths)
     split_update2d_f_optional = True
+    kernel_update_f_optional = True
 
     def __init__(
         self,
@@ -209,15 +210,17 @@ class Poisson(ProblemBase):
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # constant-coefficient: weights and the reciprocal fold to scalars.
         # Spatial axes are the LAST geom.ndim axes of v (1D problems run
-        # as (1, N) inside kernels).
+        # as (1, N) inside kernels).  `f is None` means a statically zero
+        # RHS (kernel f_zero paths).
         inv_h2 = [1.0 / (h * h) for h in geom.spacing]
         inv_den = 1.0 / (2.0 * sum(inv_h2))
         off = v.ndim - geom.ndim
-        num = -f
+        num = None if f is None else -f
         for ax, w in enumerate(inv_h2):
-            num = num + (
+            pair = (
                 self.shift(v, off + ax, -1) + self.shift(v, off + ax, +1)
             ) * w
+            num = pair if num is None else num + pair
         return num * inv_den
 
 

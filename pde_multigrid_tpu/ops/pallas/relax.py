@@ -128,7 +128,13 @@ def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     shape = geom.padded_shape
     kshape = shape if len(shape) > 1 else (1,) + tuple(shape)
 
-    def kernel(v_ref, f_ref, o_ref, *, nsweeps):
+    def kernel(*refs, nsweeps, with_f):
+        if with_f:
+            v_ref, f_ref, o_ref = refs
+        else:
+            # statically-zero RHS (f_zero leg): no f operand at all
+            v_ref, o_ref = refs
+            f_ref = None
         if len(shape) == 1:
             # 1D problems run as (1, N); global index is the lane index
             gx = lax.broadcasted_iota(jnp.int32, kshape, 1)
@@ -150,7 +156,7 @@ def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
             problem,
             geom,
             v_ref[:],
-            f_ref[:],
+            None if f_ref is None else f_ref[:],
             pre,
             m_red,
             m_black,
@@ -158,24 +164,28 @@ def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         )
 
     @functools.lru_cache(maxsize=None)
-    def build(nsweeps: int):
+    def build(nsweeps: int, with_f: bool = True):
         return pl.pallas_call(
-            functools.partial(kernel, nsweeps=nsweeps),
+            functools.partial(kernel, nsweeps=nsweeps, with_f=with_f),
             out_shape=jax.ShapeDtypeStruct(kshape, dtype),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.VMEM),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (
+                2 if with_f else 1
+            ),
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             interpret=interpret,
         )
 
-    def relax(v, f, nsweeps: int):
-        call = build(nsweeps)
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
+        call = build(nsweeps, not f_zero)
+        args = (v,) if f_zero else (v, f)
         if len(shape) == 1:
-            return call(v[None, :], f[None, :])[0]
-        return call(v, f)
+            return call(*(a[None, :] for a in args))[0]
+        return call(*args)
 
+    # dropping f calls kernel_update(v, None, ...): problem must opt in
+    relax.supports_f_zero = bool(
+        getattr(problem, "kernel_update_f_optional", False)
+    )
     return relax
 
 
@@ -253,19 +263,15 @@ def make_slab_relax(
     assert B % 2 == 0 and halo % 2 == 0 and (X - ext) % 2 == 0
     max_start = X - ext
 
-    def kernel(
-        v_hbm,
-        f_hbm,
-        o_hbm,
-        vbuf,
-        fbuf,
-        mred_ref,
-        mblack_ref,
-        in_sem,
-        out_sem,
-        *,
-        nsweeps_here,
-    ):
+    def kernel(*refs, nsweeps_here, with_f):
+        if with_f:
+            (v_hbm, f_hbm, o_hbm, vbuf, fbuf,
+             mred_ref, mblack_ref, in_sem, out_sem) = refs
+        else:
+            # statically-zero RHS (f_zero leg): the f stream vanishes
+            (v_hbm, o_hbm, vbuf,
+             mred_ref, mblack_ref, in_sem, out_sem) = refs
+            f_hbm = fbuf = None
         # offsets are computed in units of `align` and scaled back up, so
         # Mosaic can PROVE sublane-tile divisibility of the dynamic slice
         # starts (a bare clip() result is 8-divisible in value but not
@@ -280,18 +286,22 @@ def make_slab_relax(
 
         def in_dmas(slot, p):
             s = start_of(p)
-            return (
+            dmas = [
                 pltpu.make_async_copy(
                     v_hbm.at[pl.ds(s, ext)],
                     vbuf.at[slot, pl.ds(0, ext)],
                     in_sem.at[slot, 0],
-                ),
-                pltpu.make_async_copy(
-                    f_hbm.at[pl.ds(s, ext)],
-                    fbuf.at[slot, pl.ds(0, ext)],
-                    in_sem.at[slot, 1],
-                ),
-            )
+                )
+            ]
+            if with_f:
+                dmas.append(
+                    pltpu.make_async_copy(
+                        f_hbm.at[pl.ds(s, ext)],
+                        fbuf.at[slot, pl.ds(0, ext)],
+                        in_sem.at[slot, 1],
+                    )
+                )
+            return dmas
 
         def out_dma(slot, p):
             off = (p * (B // align) - start_units(p)) * align
@@ -306,8 +316,9 @@ def make_slab_relax(
             zeros = jnp.zeros((zrow,) + tail, dtype)
             vbuf[0, ext:] = zeros
             vbuf[1, ext:] = zeros
-            fbuf[0, ext:] = zeros
-            fbuf[1, ext:] = zeros
+            if with_f:
+                fbuf[0, ext:] = zeros
+                fbuf[1, ext:] = zeros
         for d in in_dmas(0, 0):
             d.start()
 
@@ -356,7 +367,7 @@ def make_slab_relax(
                 problem,
                 geom,
                 vbuf[slot],
-                fbuf[slot],
+                fbuf[slot] if with_f else None,
                 pre,
                 m_red,
                 m_black,
@@ -380,21 +391,22 @@ def make_slab_relax(
             out_dma((nblk - 2) % 2, nblk - 2).wait()
 
     @functools.lru_cache(maxsize=None)
-    def build(nsweeps_here: int):
+    def build(nsweeps_here: int, with_f: bool = True):
+        nin = 2 if with_f else 1
+        vmem = [pltpu.VMEM((2, loc_rows) + tail, dtype)]
+        if with_f:
+            vmem.append(pltpu.VMEM((2, loc_rows) + tail, dtype))
         call = pl.pallas_call(
-            functools.partial(kernel, nsweeps_here=nsweeps_here),
+            functools.partial(
+                kernel, nsweeps_here=nsweeps_here, with_f=with_f
+            ),
             out_shape=jax.ShapeDtypeStruct((rem_start,) + tail, dtype),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec(memory_space=pl.ANY),
-            ],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nin,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((2, loc_rows) + tail, dtype),
-                pltpu.VMEM((2, loc_rows) + tail, dtype),
+            scratch_shapes=vmem + [
                 pltpu.VMEM((loc_rows,) + tail, dtype),
                 pltpu.VMEM((loc_rows,) + tail, dtype),
-                pltpu.SemaphoreType.DMA((2, 2)),
+                pltpu.SemaphoreType.DMA((2, nin)),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
             interpret=interpret,
@@ -402,26 +414,30 @@ def make_slab_relax(
         if rem_start == X:
             return call
 
-        def with_tail(v, f):
-            body = call(v, f)
+        def with_tail(v, *fs):
+            body = call(v, *fs)
             return jnp.concatenate([body, v[rem_start:]], axis=0)
 
         return with_tail
 
-    def relax(v, f, nsweeps: int):
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
+        fs = () if f_zero else (f,)
         n_full, rem = divmod(nsweeps, T)
         if n_full:
-            full = build(T)
+            full = build(T, not f_zero)
             if n_full == 1:
-                v = full(v, f)
+                v = full(v, *fs)
             else:
                 v = lax.fori_loop(
-                    0, n_full, lambda _, vv: full(vv, f), v
+                    0, n_full, lambda _, vv: full(vv, *fs), v
                 )
         if rem:
-            v = build(rem)(v, f)
+            v = build(rem, not f_zero)(v, *fs)
         return v
 
+    relax.supports_f_zero = bool(
+        getattr(problem, "kernel_update_f_optional", False)
+    )
     return relax
 
 

@@ -561,3 +561,34 @@ def test_split2d_min_y2_gate_full_solve():
     rj = MultigridSolver(L2D(), 33, cfg_j).solve()
     assert abs(rp.error_linf - rj.error_linf) < 1e-5
     assert abs(rp.residual_l2 - rj.residual_l2) < 1e-5
+
+
+def test_resident_and_slab_f_zero():
+    """f_zero variants of the resident and dense slab kernels (RHS
+    stream dropped) == the same kernels with an explicit zero RHS."""
+    for prob, n, mk in (
+        (Lyapunov2D(), 17, "resident"),
+        (Poisson(2), 65, "slab"),
+        (Lyapunov2D(), 65, "slab"),
+    ):
+        h = Hierarchy.build(prob, n, pad_last_to=128, pad_sublane_to=8)
+        geom = h.geoms[0]
+        v = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        garbage = jnp.asarray(
+            RNG.standard_normal(geom.padded_shape).astype(np.float32)
+        )
+        zeros = jnp.zeros(geom.padded_shape, jnp.float32)
+        if mk == "resident":
+            fn = R.make_resident_relax(prob, geom, F32, interpret=True)
+        else:
+            fn = R.make_slab_relax(prob, geom, F32, 8, 1, interpret=True)
+        assert fn.supports_f_zero
+        for ns in (1, 3):
+            got = np.asarray(fn(v, garbage, ns, f_zero=True))
+            want = np.asarray(fn(v, zeros, ns))
+            np.testing.assert_allclose(
+                got, want, rtol=1e-6, atol=1e-7,
+                err_msg=f"{prob.name} {mk} ns={ns}",
+            )
