@@ -127,6 +127,41 @@ def main():
     args.n = args.n or PROBLEM_DEFAULTS[args.problem]["n"]
     args.nu = args.nu or PROBLEM_DEFAULTS[args.problem]["nu"]
 
+    # The TPU tunnel in this environment hangs at backend init roughly
+    # every other attempt, and a killed hung dial often unblocks the
+    # next.  Probe in short-lived subprocesses until one connects so the
+    # real run (which cannot recover from a hang) starts on a live
+    # tunnel.  Zero effect off-tunnel: the first probe just succeeds.
+    import os
+    import subprocess
+
+    probe = (
+        "import jax, jax.numpy as jnp; "
+        "a = jnp.ones((128, 128)); print('ok', float((a @ a)[0, 0]))"
+    )
+    for attempt in range(6):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=75,
+                capture_output=True,
+                text=True,
+            )
+            if "ok" in r.stdout:
+                break
+        except subprocess.TimeoutExpired:
+            pass
+        print(
+            f"[bench] backend probe attempt {attempt + 1} hung; retrying",
+            file=sys.stderr,
+        )
+    else:
+        print(
+            "[bench] WARNING: backend probe never connected; "
+            "attempting the run anyway",
+            file=sys.stderr,
+        )
+
     import jax
     import jax.numpy as jnp
 
