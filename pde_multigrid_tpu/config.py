@@ -111,3 +111,8 @@ class SolverConfig:
     # failure detection: stop when the residual is non-finite or exceeds
     # this factor times the best residual seen (SURVEY.md §5)
     divergence_factor: float = 1e3
+    # sharded smoother: local sweeps per halo exchange (trapezoidal
+    # chunking, parallel/halo.py).  T=4 amortizes the ppermute pair over
+    # 4 red-black sweeps at the cost of 2T-row halos; shards too thin
+    # for the halo fall back to the GSPMD-partitioned jnp tier
+    sweeps_per_exchange: int = 4

@@ -43,13 +43,17 @@ class ShardedKernels(JnpKernels):
                 mesh, g
             ).is_fully_replicated:
                 x_loc = g.padded_shape[0] // n
-                if x_loc >= 2 * sweeps_per_exchange:
+                # clamp the chunk size to what the shard can host: each
+                # sweep consumes 2 halo rows, so a shard of x_loc rows
+                # supports at most x_loc // 2 sweeps per exchange
+                t_eff = min(sweeps_per_exchange, x_loc // 2)
+                if t_eff >= 1:
                     fn = halo.make_sharded_relax(
                         problem,
                         g,
                         mesh,
                         jnp.dtype(dtype),
-                        sweeps_per_exchange,
+                        t_eff,
                     )
             self._sharded_relax.append(fn)
 

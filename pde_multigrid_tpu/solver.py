@@ -246,6 +246,7 @@ class MultigridSolver:
                 dtype=dtype,
                 smoother=self.config.cycle.smoother,
                 omega=self.config.cycle.omega,
+                sweeps_per_exchange=self.config.sweeps_per_exchange,
             )
         else:
             kernels = _pick_kernels(
