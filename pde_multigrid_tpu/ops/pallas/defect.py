@@ -308,12 +308,13 @@ def plan_defect_relax(
     if rsplit is None or fold is None:
         return None
     zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)
-    # kill switch for the in-kernel zero-start first chunk (untested
-    # Mosaic variants can be disabled without a code change)
+    # in-kernel zero-start first chunk: OFF by default until the Mosaic
+    # variant is validated on hardware (PDE_MG_DEFECT_VZERO=1 enables;
+    # interpret-mode equivalence is covered by tests/test_mixed.py)
     import os
 
     in_kernel_zero = getattr(inner, "supports_v_zero", False) and (
-        os.environ.get("PDE_MG_DEFECT_VZERO", "1") != "0"
+        os.environ.get("PDE_MG_DEFECT_VZERO", "0") == "1"
     )
 
     def relax(v, f, nsweeps: int):
