@@ -592,3 +592,30 @@ def test_resident_and_slab_f_zero():
                 got, want, rtol=1e-6, atol=1e-7,
                 err_msg=f"{prob.name} {mk} ns={ns}",
             )
+
+
+def test_planner_tier_selection_at_bench_sizes():
+    """Guard the production kernel-tier choices at the benchmark sizes
+    (geometry-only — no arrays): regressions here silently drop hot
+    levels to the jnp tier (it happened: the 2D VMEM model once
+    overcounted 8x and ran 2049^2 relax via XLA)."""
+    from pde_multigrid_tpu.grid import build_geometries
+
+    def tier(prob, n, ndim, wrap):
+        geoms = build_geometries(
+            (n,) * ndim, prob.domain, None,
+            pad_last_to=128, pad_sublane_to=8, wrap=wrap,
+        )
+        fn = R.plan_relax(prob, geoms[0], F32, interpret=True)
+        return None if fn is None else fn.__qualname__.split(".")[0]
+
+    assert tier(Lyapunov2D(), 2049, 2, False) == (
+        "make_split_color_slab_2d"
+    )
+    assert tier(Lyapunov2D(), 4097, 2, False) == (
+        "make_split_color_slab_2d"
+    )
+    assert tier(Poisson(3), 129, 3, True) == "make_split_slab_relax"
+    assert tier(Poisson(3), 257, 3, True) == "make_split_slab_relax_2d"
+    assert tier(Poisson(3), 513, 3, True) == "make_split_slab_relax_2d"
+    assert tier(Ode1D(), 8193, 1, False) == "make_resident_relax"
