@@ -308,13 +308,14 @@ def plan_defect_relax(
     if rsplit is None or fold is None:
         return None
     zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)
-    # in-kernel zero-start first chunk: OFF by default until the Mosaic
-    # variant is validated on hardware (PDE_MG_DEFECT_VZERO=1 enables;
-    # interpret-mode equivalence is covered by tests/test_mixed.py)
+    # in-kernel zero-start first chunk: ON by default — hardware-validated
+    # (scripts/ab_defect_vzero.py: residual bitwise-identical to the
+    # materialized-zeros path, per-step time at parity; interpret-mode
+    # equivalence in tests/test_mixed.py).  PDE_MG_DEFECT_VZERO=0 disables.
     import os
 
     in_kernel_zero = getattr(inner, "supports_v_zero", False) and (
-        os.environ.get("PDE_MG_DEFECT_VZERO", "0") == "1"
+        os.environ.get("PDE_MG_DEFECT_VZERO", "1") == "1"
     )
 
     def relax(v, f, nsweeps: int):

@@ -37,7 +37,8 @@ T=900 run python scripts/profile_lyap.py 2049 100
 T=600 run python bench.py --n 257 --nu 20 --reps 3
 # 8. poisson fit (fixed/slope) for the record
 T=900 run python scripts/fit_problem.py poisson3d 129 5
-# 9. validate the defect v_zero Mosaic variant (flip default if good)
-T=400 run env PDE_MG_DEFECT_VZERO=1 python bench.py --reps 5
+# 9. defect v_zero A/B (validated 2026-08-19: identical residual, perf
+#    at parity; default is now ON — this re-checks on new hardware)
+T=800 run python scripts/ab_defect_vzero.py 129 100 10
 
 echo "###### hw session end $(date) ######" >> "$LOG"
