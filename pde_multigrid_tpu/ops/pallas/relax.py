@@ -1707,13 +1707,18 @@ SPLIT_SWEEPS_PER_CALL = 1
 # ... but the 2D split slab (2049^2 Lyapunov) is different: its one-sided
 # halo is nearly free (round_up(2T, 8) rows on ONE side), so more sweeps
 # per round trip amortize both HBM traffic AND the per-block coefficient
-# precompute.  Env-tunable for hardware A/Bs (scripts/ab_split2d_t.py).
-SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "4"))
+# precompute.  Hardware A/B (scripts/ab_split2d_t.py, 2049^2, two
+# interleaved rounds): T=8 beat T=4 on every paired run — 33.3/35.3 vs
+# 38.7/37.0 ms/step at nu=100, 18.6/18.8 vs 21.8/25.5 ms at nu=40.
+# Env-tunable for re-measurement on other hardware.
+SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "8"))
 # smallest half-width (Y/2) level the 2D color-split kernel engages at:
 # below this the per-leg XLA split/merge conversions historically beat
-# the halved arithmetic; f_zero halves the conversion cost on root legs,
-# so the break-even is worth re-measuring (env for hardware A/Bs)
-SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "512"))
+# the halved arithmetic; f_zero halves the conversion cost on root legs.
+# Hardware A/B (scripts/ab_split2d_min_y2.py, 2049^2 nu=100, T=8, two
+# interleaved rounds): 256 beat 512 on every paired run (31.0/31.2 vs
+# 32.4/32.8 ms/step) — 513^2-class levels now ride the split kernel.
+SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "256"))
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):

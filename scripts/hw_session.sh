@@ -27,10 +27,10 @@ T=400 run python bench.py --reps 5
 T=400 run python bench.py --problem lyapunov2d --reps 5
 # 3. ode1d sanity
 T=300 run python bench.py --problem ode1d --reps 5
-# 4. T A/B with fits (default MIN_Y2)
+# 4. T A/B with fits (validated 2026-08-19: T=8 won; default now 8)
 T=1200 run python scripts/ab_split2d_t.py 2049 5 4 8
-# 5. MIN_Y2=256 with both T values
-T=1200 run env AB_MIN_Y2=256 python scripts/ab_split2d_t.py 2049 5 4 8
+# 5. MIN_Y2 A/B (validated 2026-08-19: 256 won; default now 256)
+T=900 run python scripts/ab_split2d_min_y2.py 2049 8 512 256
 # 6. component breakdown
 T=900 run python scripts/profile_lyap.py 2049 100
 # 7. 257^3 with exact coarsest

@@ -615,6 +615,10 @@ def test_planner_tier_selection_at_bench_sizes():
     assert tier(Lyapunov2D(), 4097, 2, False) == (
         "make_split_color_slab_2d"
     )
+    # MIN_Y2=256 default (hardware-A/B'd): 513^2-class levels split too
+    assert tier(Lyapunov2D(), 513, 2, False) == (
+        "make_split_color_slab_2d"
+    )
     assert tier(Poisson(3), 129, 3, True) == "make_split_slab_relax"
     assert tier(Poisson(3), 257, 3, True) == "make_split_slab_relax_2d"
     assert tier(Poisson(3), 513, 3, True) == "make_split_slab_relax_2d"
