@@ -74,6 +74,18 @@ DEFECT_2D = False
 
 DEFECT_VMEM_BUDGET = 12 * 2**20
 
+# VMEM ceiling for the ALL-sweeps-resident inner smoother (the four bf16
+# halves + one f32 block window's temps must fit under the ~16 MB core
+# VMEM with margin); 129^3-class levels cost ~8.5 MB resident + ~2.5 MB
+# of B=8 window temps (hardware-validated; B=16's temps bust the margin)
+RESIDENT_DEFECT_BUDGET = 13 * 2**20
+
+# per-leg sweep threshold for the resident inner: its fixed cost is one
+# bf16 round trip of the halves (~4 B/point) on top of the rsplit/fold
+# passes, vs the f32 slab kernel's ~12 B/point/sweep — breakeven ~2
+# sweeps, gated a little above
+RESIDENT_MIN_SWEEPS = 4
+
 
 def _rows(X, Y, Z, per_row_bytes, budget=DEFECT_VMEM_BUDGET):
     for B in (8, 4, 2):
@@ -251,25 +263,53 @@ def plan_defect_relax(
     # erased the traffic win) — so the VMEM cost model is the f32
     # kernel's (the sweep temps are f32), and the bf16 buffers come on
     # top at half an f32 array each.
+    import os
+
     T = DEFECT_T
     half_plane = Y2 * Z * 4
     inner = None
-    for B in (16, 8, 4):
-        ext = B + 4 * T
-        if X < ext or X % B:
-            continue
-        if half_plane * 14 * (ext + 1) <= relax_mod.SLAB_VMEM_BUDGET:
-            inner = relax_mod.make_split_slab_relax(
-                problem,
-                geom,
-                inner_dtype,
-                B,
-                sweeps_per_call=T,
-                interpret=interpret,
-                raw=True,
-                compute_dtype=jnp.float32,
-            )
-            break
+    # ALL-sweeps-resident inner: the four bf16 halves live in VMEM for
+    # the whole leg (one HBM round trip per leg, any nu).  Preferred
+    # whenever they fit; PDE_MG_DEFECT_RESIDENT=0 falls back to the
+    # T-chunked slab inner below.
+    if os.environ.get("PDE_MG_DEFECT_RESIDENT", "1") == "1":
+        isz = jnp.dtype(inner_dtype).itemsize
+        res_bytes = (
+            relax_mod.tile_padded_bytes((X + 2, Y2, Z), isz) * 2
+            + relax_mod.tile_padded_bytes((X, Y2, Z), isz) * 2
+        )
+        force_b = int(os.environ.get("PDE_MG_DEFECT_RESIDENT_B", "0"))
+        for B in ((force_b,) if force_b else (8, 16, 4)):
+            if X % B:
+                continue
+            temps = relax_mod.tile_padded_bytes((B + 2, Y2, Z), 4) * 10
+            if res_bytes + temps <= RESIDENT_DEFECT_BUDGET:
+                inner = relax_mod.make_split_resident_sweeps(
+                    problem,
+                    geom,
+                    inner_dtype,
+                    B,
+                    interpret=interpret,
+                    compute_dtype=jnp.float32,
+                )
+                break
+    if inner is None:
+        for B in (16, 8, 4):
+            ext = B + 4 * T
+            if X < ext or X % B:
+                continue
+            if half_plane * 14 * (ext + 1) <= relax_mod.SLAB_VMEM_BUDGET:
+                inner = relax_mod.make_split_slab_relax(
+                    problem,
+                    geom,
+                    inner_dtype,
+                    B,
+                    sweeps_per_call=T,
+                    interpret=interpret,
+                    raw=True,
+                    compute_dtype=jnp.float32,
+                )
+                break
     if inner is None and DEFECT_2D:
         # 2D-blocked tier (whole half-planes bust VMEM: 257^3 and up).
         # bf16 storage needs 16-aligned j blocks/halos; the VMEM model
@@ -311,11 +351,11 @@ def plan_defect_relax(
     # in-kernel zero-start first chunk: ON by default — hardware-validated
     # (scripts/ab_defect_vzero.py: residual bitwise-identical to the
     # materialized-zeros path, per-step time at parity; interpret-mode
-    # equivalence in tests/test_mixed.py).  PDE_MG_DEFECT_VZERO=0 disables.
-    import os
-
+    # equivalence in tests/test_mixed.py).  PDE_MG_DEFECT_VZERO=0 disables
+    # (the resident inner has no materialized-zeros form: always in-kernel).
     in_kernel_zero = getattr(inner, "supports_v_zero", False) and (
-        os.environ.get("PDE_MG_DEFECT_VZERO", "1") == "1"
+        getattr(inner, "resident", False)
+        or os.environ.get("PDE_MG_DEFECT_VZERO", "1") == "1"
     )
 
     def relax(v, f, nsweeps: int):
@@ -328,4 +368,12 @@ def plan_defect_relax(
             er, eb = inner(zero(), zero(), rr, rb, nsweeps)
         return fold(er, eb, v)
 
+    # per-leg engagement threshold (dispatch.PallasKernels.relax): the
+    # resident inner amortizes at a few sweeps; the chunked one needs
+    # its fixed passes covered by the per-sweep traffic savings
+    relax.min_sweeps = (
+        RESIDENT_MIN_SWEEPS
+        if getattr(inner, "resident", False)
+        else MIXED_MIN_SWEEPS
+    )
     return relax

@@ -91,7 +91,9 @@ class PallasKernels(JnpKernels):
 
     def relax(self, l, v, f, aux, nsweeps, f_zero=False):
         dfn = self._defect_fns[l]
-        if dfn is not None and nsweeps >= _defect_min_sweeps():
+        if dfn is not None and nsweeps >= getattr(
+            dfn, "min_sweeps", _defect_min_sweeps()
+        ):
             return dfn(v, f, nsweeps)
         fn = self._relax_fns[l]
         if fn is None:

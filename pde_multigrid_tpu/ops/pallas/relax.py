@@ -1112,6 +1112,185 @@ def make_split_slab_relax(
     return relax
 
 
+def make_split_resident_sweeps(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    block_rows: int = 8,
+    interpret=False,
+    compute_dtype=jnp.float32,
+):
+    """ALL-sweeps-resident error-equation smoother on color-split storage.
+
+    (er, eb) = S^nu(0; rr, rb): nu red-black sweeps of the homogeneous-
+    Dirichlet error equation starting from E_0 = 0, with all four
+    color-split halves RESIDENT in VMEM for the whole leg.  In bf16
+    (defect.py's inner smoother) a 129^3-class level's four halves total
+    ~8.5 MB — comfortably inside VMEM — so the leg costs ONE HBM round
+    trip (read rr/rb, write er/eb) regardless of nu, where the slab
+    kernel pays ~6 B/point/sweep.  The smoother-leg roofline collapses
+    from HBM bandwidth to VPU arithmetic.
+
+    Storage/compute split as in make_split_slab_relax: VMEM holds
+    `dtype` (bf16), each x-block is cast to `compute_dtype` (f32)
+    registers, swept, and cast back.  The error halves live padded with
+    one always-zero row on each end of the x axis, so every block's
+    (B+2)-row neighbor window is a static-shape dynamic slice and the
+    wrap reads of the first/last interior rows land on zeros — the same
+    zero-boundary convention the slab kernels implement with their
+    appended zero row (the error equation's Dirichlet data is 0 on all
+    faces).  Each color phase runs over ALL blocks before the other
+    color starts: exactly the jnp tier's global red->black ordering, so
+    results are bitwise those of ops.stencil.relax_rbgs on the error
+    equation (modulo the shared reciprocal-vs-divide rounding).
+
+    Replaces the reference's per-sweep CUDARelax launches
+    (MultiGrid3D.cu:609-675) at the opposite design point: one launch
+    per LEG with zero intra-leg HBM traffic.
+    """
+    assert geom.wrap and geom.ndim == 3
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    cdt = jnp.dtype(compute_dtype or dtype)
+    B = block_rows
+    assert X % B == 0 and B % 2 == 0 and Z % 128 == 0 and Y2 % 8 == 0
+    ext = B + 2
+    nblk = X // B
+    tail = (Y2, Z)
+
+    def kernel(
+        rr_hbm, rb_hbm, er_hbm, eb_hbm,
+        ers, ebs, rrs, rbs, in_sem, out_sem,
+        *, nsweeps,
+    ):
+        cp_in = [
+            pltpu.make_async_copy(rr_hbm, rrs, in_sem.at[0]),
+            pltpu.make_async_copy(rb_hbm, rbs, in_sem.at[1]),
+        ]
+        for c in cp_in:
+            c.start()
+        # zero-init the error halves, including both padding rows (rows
+        # 0 and X+1; data rows i+1 hold global row i)
+        zeros = jnp.zeros((B,) + tail, dtype)
+        zrow = jnp.zeros((2,) + tail, dtype)
+
+        def zinit(p, _):
+            ers[pl.ds(p * B + 1, B)] = zeros
+            ebs[pl.ds(p * B + 1, B)] = zeros
+            return 0
+
+        lax.fori_loop(0, nblk, zinit, 0)
+        for buf in (ers, ebs):
+            buf[0:1] = zrow[0:1]
+            buf[pl.ds(X + 1, 1)] = zrow[0:1]
+        for c in cp_in:
+            c.wait()
+
+        ix = lax.broadcasted_iota(jnp.int32, (ext, 1, 1), 0)
+        iz3 = lax.broadcasted_iota(jnp.int32, (ext, 1, Z), 2)
+        izo = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 2)
+        jj = lax.broadcasted_iota(jnp.int32, (1, Y2, 1), 1)
+        own = slice(1, B + 1)
+
+        def roll(a, ax, off):
+            return jnp.roll(a, -off, axis=ax)
+
+        def phase_body(red):
+            src, dst = (ebs, ers) if red else (ers, ebs)
+            rhs = rrs if red else rbs
+
+            def body(p, _):
+                s = p * B  # padded window start == global p*B - 1
+                w = src[pl.ds(s, ext)].astype(cdt)
+                g = s - 1 + ix  # global x of window rows
+                q1 = ((g + iz3) % 2) == 1
+                px = roll(w, 0, -1) + roll(w, 0, +1)
+                if red:
+                    py = w + jnp.where(
+                        q1, roll(w, 1, +1), roll(w, 1, -1)
+                    )
+                else:
+                    py = w + jnp.where(
+                        q1, roll(w, 1, -1), roll(w, 1, +1)
+                    )
+                pz = roll(w, 2, -1) + roll(w, 2, +1)
+                fr = rhs[pl.ds(p * B, B)].astype(cdt)
+                upd = problem.split_update(
+                    (px[own], py[own], pz[own]), fr, geom
+                )
+                go = p * B + lax.broadcasted_iota(
+                    jnp.int32, (B, 1, 1), 0
+                )
+                q1o = ((go + izo) % 2) == 1
+                ok = (
+                    ((jj >= 1) | (q1o if red else ~q1o))
+                    & (izo >= 1)
+                    & (go >= 1)
+                    & (go <= geom.shape[0] - 2)
+                )
+                m = jnp.broadcast_to(ok, (B,) + tail).astype(cdt)
+                e = dst[pl.ds(s + 1, B)].astype(cdt)
+                dst[pl.ds(s + 1, B)] = (e + m * (upd - e)).astype(dtype)
+                return 0
+
+            return body
+
+        def sweep(_, carry):
+            lax.fori_loop(0, nblk, phase_body(True), 0)
+            lax.fori_loop(0, nblk, phase_body(False), 0)
+            return carry
+
+        lax.fori_loop(0, nsweeps, sweep, 0)
+
+        cp_out = [
+            pltpu.make_async_copy(
+                ers.at[pl.ds(1, X)], er_hbm, out_sem.at[0]
+            ),
+            pltpu.make_async_copy(
+                ebs.at[pl.ds(1, X)], eb_hbm, out_sem.at[1]
+            ),
+        ]
+        for c in cp_out:
+            c.start()
+        for c in cp_out:
+            c.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=(
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+                jax.ShapeDtypeStruct((X,) + tail, dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((X + 2,) + tail, dtype),
+                pltpu.VMEM((X + 2,) + tail, dtype),
+                pltpu.VMEM((X,) + tail, dtype),
+                pltpu.VMEM((X,) + tail, dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+            interpret=interpret,
+        )
+
+    def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
+        """Signature-compatible with make_split_slab_relax's raw form;
+        the iterate halves must be statically zero (defect legs always
+        start from E_0 = 0, which this kernel bakes in)."""
+        assert v_zero and r is None and b is None
+        return build(nsweeps)(fr, fb)
+
+    relax_raw.supports_v_zero = True
+    relax_raw.resident = True
+    return relax_raw
+
+
 # ------------------------------------------ 2D color-split slab kernel
 
 

@@ -95,6 +95,31 @@ def test_defect_planner_gates():
     )
 
 
+def test_resident_inner_selected_and_tracks_chunked(monkeypatch):
+    """129^3-class levels take the ALL-sweeps-resident inner (the four
+    bf16 halves fit VMEM); it matches the chunked slab inner to the
+    bf16 phase-boundary quantization level and carries the lower
+    engagement threshold."""
+    prob, lvl, geom, v, f = _wrap_level()
+    monkeypatch.setenv("PDE_MG_DEFECT_RESIDENT", "1")
+    fn_res = D.plan_defect_relax(prob, geom, F32, interpret=True)
+    assert fn_res is not None
+    assert fn_res.min_sweeps == D.RESIDENT_MIN_SWEEPS
+    monkeypatch.setenv("PDE_MG_DEFECT_RESIDENT", "0")
+    fn_chunk = D.plan_defect_relax(prob, geom, F32, interpret=True)
+    assert fn_chunk.min_sweeps == D.MIXED_MIN_SWEEPS
+    a = np.asarray(fn_res(v, f, 5))
+    b = np.asarray(fn_chunk(v, f, 5))
+    # the chunked inner hands f32 red values to the black half-sweep
+    # inside a chunk; the resident one quantizes between phases — the
+    # paths agree to O(eps_bf16) of the error moved
+    scale = np.max(np.abs(b - np.asarray(v)))
+    assert np.max(np.abs(a - b)) < 0.02 * scale
+    # and against the direct f32 sweeps (defect contract)
+    want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 5))
+    assert np.max(np.abs(a - want)) < 0.02 * scale
+
+
 def test_mixed_solver_matches_f32_end_to_end():
     """Full FMG with precision='mixed' (forced pallas tier, interpreter
     mode on CPU): converges to the same discretization-accuracy solution
