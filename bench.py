@@ -273,10 +273,15 @@ def main():
         precision=args.precision,
         rhs_zero=getattr(problem, "rhs_is_zero", False),
     )
-    pct = roofline.percent_of_roofline(per_step, model_bytes)
+    t_hbm = model_bytes / (roofline.DEFAULT_HBM_GBPS * 1e9)
+    t_vpu = updates / roofline.vpu_bound_updates_per_s(ndim)
+    t_bound = max(t_hbm, t_vpu)
+    which = "VPU-arithmetic" if t_vpu > t_hbm else "HBM-traffic"
     print(
-        f"[bench] HBM-traffic model {model_bytes/1e9:.2f} GB/step -> "
-        f"{pct:.0f}% of the {roofline.DEFAULT_HBM_GBPS:.0f} GB/s roofline",
+        f"[bench] roofline: HBM-traffic model {model_bytes/1e9:.2f} GB/step "
+        f"({t_hbm*1e3:.1f} ms), VPU sweep model {t_vpu*1e3:.1f} ms "
+        f"-> {which}-bound; measured = {100*t_bound/per_step:.0f}% of "
+        f"the combined roofline",
         file=sys.stderr,
     )
     # sanity: converged to discretization accuracy, floored at float32

@@ -80,6 +80,18 @@ DEFECT_VMEM_BUDGET = 12 * 2**20
 # of B=8 window temps (hardware-validated; B=16's temps bust the margin)
 RESIDENT_DEFECT_BUDGET = 13 * 2**20
 
+# ceiling for the f32-ITERATE resident variant (error halves f32 = no
+# pack/unpack casts in the sweep body; residual halves stay bf16):
+# 129^3-class = ~12.7 MB resident, leaving room only for B=4 windows.
+# OFF by default — hardware A/B (scripts/ab_resident_f32.py and the
+# full-step scripts/ab_defect_resident.py, 2026-08-19): the f32 iterate
+# is ~15% SLOWER per sweep than bf16 (7.69 vs 6.63 ms/step against a
+# 9.30 ms chunked control) — the sweeps are VMEM-load-bandwidth-bound,
+# so halving the iterate word beats removing the pack/unpack casts.
+# Its residual does track the pure-f32 path ~20x tighter (8.9e-5 vs
+# 1.8e-3 rel), so PDE_MG_DEFECT_RESIDENT_F32=1 remains available.
+RESIDENT_F32_BUDGET = 15 * 2**20
+
 # per-leg sweep threshold for the resident inner: its fixed cost is one
 # bf16 round trip of the halves (~4 B/point) on top of the rsplit/fold
 # passes, vs the f32 slab kernel's ~12 B/point/sweep — breakeven ~2
@@ -274,24 +286,35 @@ def plan_defect_relax(
     # T-chunked slab inner below.
     if os.environ.get("PDE_MG_DEFECT_RESIDENT", "1") == "1":
         isz = jnp.dtype(inner_dtype).itemsize
-        res_bytes = (
-            relax_mod.tile_padded_bytes((X + 2, Y2, Z), isz) * 2
-            + relax_mod.tile_padded_bytes((X, Y2, Z), isz) * 2
-        )
         force_b = int(os.environ.get("PDE_MG_DEFECT_RESIDENT_B", "0"))
-        for B in ((force_b,) if force_b else (8, 16, 4)):
-            if X % B:
-                continue
-            temps = relax_mod.tile_padded_bytes((B + 2, Y2, Z), 4) * 10
-            if res_bytes + temps <= RESIDENT_DEFECT_BUDGET:
-                inner = relax_mod.make_split_resident_sweeps(
-                    problem,
-                    geom,
-                    inner_dtype,
-                    B,
-                    interpret=interpret,
-                    compute_dtype=jnp.float32,
-                )
+        # preferred: f32 iterate halves (cast-free sweep body); fall back
+        # to inner_dtype (bf16) iterate when VMEM says no.
+        cands = []
+        if os.environ.get("PDE_MG_DEFECT_RESIDENT_F32", "0") == "1":
+            cands.append((jnp.float32, RESIDENT_F32_BUDGET))
+        cands.append((inner_dtype, RESIDENT_DEFECT_BUDGET))
+        for idt, budget in cands:
+            ii = jnp.dtype(idt).itemsize
+            res_bytes = (
+                relax_mod.tile_padded_bytes((X + 2, Y2, Z), ii) * 2
+                + relax_mod.tile_padded_bytes((X, Y2, Z), isz) * 2
+            )
+            for B in ((force_b,) if force_b else (8, 16, 4)):
+                if X % B:
+                    continue
+                temps = relax_mod.tile_padded_bytes((B + 2, Y2, Z), 4) * 10
+                if res_bytes + temps <= budget:
+                    inner = relax_mod.make_split_resident_sweeps(
+                        problem,
+                        geom,
+                        inner_dtype,
+                        B,
+                        interpret=interpret,
+                        compute_dtype=jnp.float32,
+                        iterate_dtype=idt,
+                    )
+                    break
+            if inner is not None:
                 break
     if inner is None:
         for B in (16, 8, 4):
@@ -344,7 +367,9 @@ def plan_defect_relax(
     rsplit = make_residual_split(
         problem, geom, dtype, inner_dtype, interpret
     )
-    fold = make_merge_fold(geom, inner_dtype, dtype, interpret)
+    fold = make_merge_fold(
+        geom, getattr(inner, "out_dtype", inner_dtype), dtype, interpret
+    )
     if rsplit is None or fold is None:
         return None
     zero = functools.partial(jnp.zeros, (X, Y2, Z), inner_dtype)

@@ -1119,30 +1119,40 @@ def make_split_resident_sweeps(
     block_rows: int = 8,
     interpret=False,
     compute_dtype=jnp.float32,
+    iterate_dtype=None,
 ):
     """ALL-sweeps-resident error-equation smoother on color-split storage.
 
     (er, eb) = S^nu(0; rr, rb): nu red-black sweeps of the homogeneous-
     Dirichlet error equation starting from E_0 = 0, with all four
-    color-split halves RESIDENT in VMEM for the whole leg.  In bf16
-    (defect.py's inner smoother) a 129^3-class level's four halves total
-    ~8.5 MB — comfortably inside VMEM — so the leg costs ONE HBM round
-    trip (read rr/rb, write er/eb) regardless of nu, where the slab
-    kernel pays ~6 B/point/sweep.  The smoother-leg roofline collapses
-    from HBM bandwidth to VPU arithmetic.
+    color-split halves RESIDENT in VMEM for the whole leg.  With bf16
+    residual halves a 129^3-class level fits comfortably, so the leg
+    costs ONE HBM round trip (read rr/rb, write er/eb) regardless of nu,
+    where the slab kernel pays ~6 B/point/sweep.  The smoother-leg
+    roofline collapses from HBM bandwidth to VPU arithmetic — so the
+    inner loop is op-count-tuned:
 
-    Storage/compute split as in make_split_slab_relax: VMEM holds
-    `dtype` (bf16), each x-block is cast to `compute_dtype` (f32)
-    registers, swept, and cast back.  The error halves live padded with
-    one always-zero row on each end of the x axis, so every block's
-    (B+2)-row neighbor window is a static-shape dynamic slice and the
-    wrap reads of the first/last interior rows land on zeros — the same
-    zero-boundary convention the slab kernels implement with their
-    appended zero row (the error equation's Dirichlet data is 0 on all
-    faces).  Each color phase runs over ALL blocks before the other
-    color starts: exactly the jnp tier's global red->black ordering, so
-    results are bitwise those of ops.stencil.relax_rbgs on the error
-    equation (modulo the shared reciprocal-vs-divide rounding).
+    - `iterate_dtype` (default `dtype`) sets the ERROR halves' storage:
+      f32 iterate + bf16 residual removes every pack/unpack cast from
+      the sweep body (the residual cast remains, 1 op/point/sweep) at
+      the cost of doubling the iterate halves' VMEM.
+    - parity/interiority masks are hoisted out of the sweep loop (the
+      window parity pattern is block-independent because B is even),
+      and updates are written as `where(ok, upd, 0)` instead of a
+      masked blend — valid because masked-off points of the error are
+      identically zero.  The x-interiority term is dropped from the
+      mask entirely: the only stored non-interior x row is global row 0
+      (wrap storage), which is re-zeroed once per half-sweep, before
+      the other color reads it.
+    - x-neighbors come from static slices of the (B+2)-row window (the
+      halves carry one always-zero padding row at each x end, so edge
+      windows read zeros — the error equation's Dirichlet data), not
+      from rolls; only y/z use lane/sublane rotates.
+
+    Each color phase runs over ALL blocks before the other color
+    starts: exactly the jnp tier's global red->black ordering, so
+    results match ops.stencil.relax_rbgs on the error equation (modulo
+    iterate quantization when iterate_dtype is narrower than f32).
 
     Replaces the reference's per-sweep CUDARelax launches
     (MultiGrid3D.cu:609-675) at the opposite design point: one launch
@@ -1152,8 +1162,12 @@ def make_split_resident_sweeps(
     X, Y, Z = geom.padded_shape
     Y2 = Y // 2
     cdt = jnp.dtype(compute_dtype or dtype)
+    idt = jnp.dtype(iterate_dtype or dtype)
     B = block_rows
     assert X % B == 0 and B % 2 == 0 and Z % 128 == 0 and Y2 % 8 == 0
+    # wrap storage: row 0 is the only stored non-interior x row (the
+    # re-zero-row-0 scheme below relies on this)
+    assert geom.shape[0] - 2 == X - 1
     ext = B + 2
     nblk = X // B
     tail = (Y2, Z)
@@ -1171,8 +1185,8 @@ def make_split_resident_sweeps(
             c.start()
         # zero-init the error halves, including both padding rows (rows
         # 0 and X+1; data rows i+1 hold global row i)
-        zeros = jnp.zeros((B,) + tail, dtype)
-        zrow = jnp.zeros((2,) + tail, dtype)
+        zeros = jnp.zeros((B,) + tail, idt)
+        zrow = jnp.zeros((1,) + tail, idt)
 
         def zinit(p, _):
             ers[pl.ds(p * B + 1, B)] = zeros
@@ -1181,63 +1195,59 @@ def make_split_resident_sweeps(
 
         lax.fori_loop(0, nblk, zinit, 0)
         for buf in (ers, ebs):
-            buf[0:1] = zrow[0:1]
-            buf[pl.ds(X + 1, 1)] = zrow[0:1]
+            buf[0:1] = zrow
+            buf[pl.ds(X + 1, 1)] = zrow
         for c in cp_in:
             c.wait()
 
-        ix = lax.broadcasted_iota(jnp.int32, (ext, 1, 1), 0)
-        iz3 = lax.broadcasted_iota(jnp.int32, (ext, 1, Z), 2)
+        # hoisted masks (block-independent: B is even, so the own-row
+        # parity pattern repeats across blocks)
         izo = lax.broadcasted_iota(jnp.int32, (B, 1, Z), 2)
+        go = lax.broadcasted_iota(jnp.int32, (B, 1, 1), 0)
+        q1o = ((go + izo) % 2) == 1
         jj = lax.broadcasted_iota(jnp.int32, (1, Y2, 1), 1)
+        okz = izo >= 1
+        ok_r = ((jj >= 1) | q1o) & okz
+        ok_b = ((jj >= 1) | ~q1o) & okz
+        zero_c = jnp.zeros((), cdt)
         own = slice(1, B + 1)
-
-        def roll(a, ax, off):
-            return jnp.roll(a, -off, axis=ax)
 
         def phase_body(red):
             src, dst = (ebs, ers) if red else (ers, ebs)
             rhs = rrs if red else rbs
+            ok = ok_r if red else ok_b
 
             def body(p, _):
                 s = p * B  # padded window start == global p*B - 1
-                w = src[pl.ds(s, ext)].astype(cdt)
-                g = s - 1 + ix  # global x of window rows
-                q1 = ((g + iz3) % 2) == 1
-                px = roll(w, 0, -1) + roll(w, 0, +1)
+                w = src[pl.ds(s, ext)]
+                if w.dtype != cdt:
+                    w = w.astype(cdt)
+                wo = w[own]
+                px = w[0:B] + w[2:ext]
                 if red:
-                    py = w + jnp.where(
-                        q1, roll(w, 1, +1), roll(w, 1, -1)
+                    py = wo + jnp.where(
+                        q1o, jnp.roll(wo, -1, 1), jnp.roll(wo, 1, 1)
                     )
                 else:
-                    py = w + jnp.where(
-                        q1, roll(w, 1, -1), roll(w, 1, +1)
+                    py = wo + jnp.where(
+                        q1o, jnp.roll(wo, 1, 1), jnp.roll(wo, -1, 1)
                     )
-                pz = roll(w, 2, -1) + roll(w, 2, +1)
+                pz = jnp.roll(wo, 1, 2) + jnp.roll(wo, -1, 2)
                 fr = rhs[pl.ds(p * B, B)].astype(cdt)
-                upd = problem.split_update(
-                    (px[own], py[own], pz[own]), fr, geom
+                upd = problem.split_update((px, py, pz), fr, geom)
+                out = jnp.where(ok, upd, zero_c)
+                dst[pl.ds(s + 1, B)] = (
+                    out if idt == cdt else out.astype(idt)
                 )
-                go = p * B + lax.broadcasted_iota(
-                    jnp.int32, (B, 1, 1), 0
-                )
-                q1o = ((go + izo) % 2) == 1
-                ok = (
-                    ((jj >= 1) | (q1o if red else ~q1o))
-                    & (izo >= 1)
-                    & (go >= 1)
-                    & (go <= geom.shape[0] - 2)
-                )
-                m = jnp.broadcast_to(ok, (B,) + tail).astype(cdt)
-                e = dst[pl.ds(s + 1, B)].astype(cdt)
-                dst[pl.ds(s + 1, B)] = (e + m * (upd - e)).astype(dtype)
                 return 0
 
             return body
 
         def sweep(_, carry):
             lax.fori_loop(0, nblk, phase_body(True), 0)
+            ers[1:2] = zrow  # global row 0 back to zero boundary data
             lax.fori_loop(0, nblk, phase_body(False), 0)
+            ebs[1:2] = zrow
             return carry
 
         lax.fori_loop(0, nsweeps, sweep, 0)
@@ -1260,8 +1270,8 @@ def make_split_resident_sweeps(
         return pl.pallas_call(
             functools.partial(kernel, nsweeps=nsweeps),
             out_shape=(
-                jax.ShapeDtypeStruct((X,) + tail, dtype),
-                jax.ShapeDtypeStruct((X,) + tail, dtype),
+                jax.ShapeDtypeStruct((X,) + tail, idt),
+                jax.ShapeDtypeStruct((X,) + tail, idt),
             ),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
             out_specs=(
@@ -1269,8 +1279,8 @@ def make_split_resident_sweeps(
                 pl.BlockSpec(memory_space=pl.ANY),
             ),
             scratch_shapes=[
-                pltpu.VMEM((X + 2,) + tail, dtype),
-                pltpu.VMEM((X + 2,) + tail, dtype),
+                pltpu.VMEM((X + 2,) + tail, idt),
+                pltpu.VMEM((X + 2,) + tail, idt),
                 pltpu.VMEM((X,) + tail, dtype),
                 pltpu.VMEM((X,) + tail, dtype),
                 pltpu.SemaphoreType.DMA((2,)),
@@ -1288,6 +1298,7 @@ def make_split_resident_sweeps(
 
     relax_raw.supports_v_zero = True
     relax_raw.resident = True
+    relax_raw.out_dtype = idt
     return relax_raw
 
 

@@ -26,6 +26,23 @@ from typing import Sequence
 # v5e nominal HBM bandwidth; override per chip generation when known.
 DEFAULT_HBM_GBPS = 819.0
 
+# v5e VPU peak: 4 ALUs x (8 x 128) lanes x ~940 MHz f32 ops.  Used for
+# the compute-roofline view: once a relax leg runs ALL sweeps VMEM-
+# resident (ops/pallas/defect.py resident inner), its cost is VPU
+# arithmetic, not HBM traffic.
+VPU_F32_OPS_PER_S = 4 * 8 * 128 * 0.94e9
+
+# estimated VPU ops per interior point update in the color-split
+# resident kernels (loads/casts + neighbor gathers + local solve +
+# select/store), by problem dimension.  Hardware-consistent: measured
+# 129^3 resident sweeps run at ~21 ops/update against VPU peak.
+SPLIT_OPS_PER_UPDATE = {3: 20, 2: 14, 1: 8}
+
+
+def vpu_bound_updates_per_s(ndim: int) -> float:
+    """VPU-arithmetic-bound smoother updates/s for VMEM-resident sweeps."""
+    return VPU_F32_OPS_PER_S / SPLIT_OPS_PER_UPDATE.get(ndim, 20)
+
 
 @dataclasses.dataclass
 class LevelTraffic:
@@ -142,13 +159,30 @@ def cycle_traffic_model(
         def leg_traffic(n_legs, f_zero):
             t = relax_traffic(g, nu, dtype_size, f_zero=f_zero)
             t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
-            if precision == "mixed" and not t.resident and nu >= 8:
-                per_leg_extra = 5.0 * t.stored_points * dtype_size
-                t = dataclasses.replace(
-                    t,
-                    bytes_per_sweep=t.bytes_per_sweep / 2
-                    + per_leg_extra / nu,
-                )
+            if precision == "mixed" and not t.resident and nu >= 4:
+                # defect-correction leg: four bf16 color-split halves
+                # (one field's two halves = stored points x 2 bytes)
+                halves_bytes = t.stored_points * 2
+                if 2 * halves_bytes <= 13 * 2**20:
+                    # ALL-sweeps-resident inner (defect.py): per LEG,
+                    # rsplit reads v[+f] and writes the residual halves,
+                    # the inner reads them and writes the error halves,
+                    # fold reads those plus v and writes v — nu-free.
+                    n_rd = 2 if f_zero else 3
+                    per_leg = (
+                        (n_rd + 1) * t.stored_points * dtype_size
+                        + 4 * halves_bytes
+                    )
+                    t = dataclasses.replace(
+                        t, bytes_per_sweep=per_leg / nu, resident=True
+                    )
+                elif nu >= 8:
+                    per_leg_extra = 5.0 * t.stored_points * dtype_size
+                    t = dataclasses.replace(
+                        t,
+                        bytes_per_sweep=t.bytes_per_sweep / 2
+                        + per_leg_extra / nu,
+                    )
             return t
 
         t0 = leg_traffic(legs_f0[l], True)

@@ -97,27 +97,40 @@ def test_defect_planner_gates():
 
 def test_resident_inner_selected_and_tracks_chunked(monkeypatch):
     """129^3-class levels take the ALL-sweeps-resident inner (the four
-    bf16 halves fit VMEM); it matches the chunked slab inner to the
-    bf16 phase-boundary quantization level and carries the lower
-    engagement threshold."""
+    halves fit VMEM) in both iterate dtypes (f32 preferred, bf16
+    fallback); both match the chunked slab inner to the bf16
+    quantization level and carry the lower engagement threshold."""
     prob, lvl, geom, v, f = _wrap_level()
     monkeypatch.setenv("PDE_MG_DEFECT_RESIDENT", "1")
-    fn_res = D.plan_defect_relax(prob, geom, F32, interpret=True)
-    assert fn_res is not None
-    assert fn_res.min_sweeps == D.RESIDENT_MIN_SWEEPS
+    monkeypatch.setenv("PDE_MG_DEFECT_RESIDENT_F32", "1")
+    fn_f32 = D.plan_defect_relax(prob, geom, F32, interpret=True)
+    assert fn_f32 is not None
+    assert fn_f32.min_sweeps == D.RESIDENT_MIN_SWEEPS
+    monkeypatch.delenv("PDE_MG_DEFECT_RESIDENT_F32")
+    fn_bf16 = D.plan_defect_relax(prob, geom, F32, interpret=True)
+    assert fn_bf16.min_sweeps == D.RESIDENT_MIN_SWEEPS
     monkeypatch.setenv("PDE_MG_DEFECT_RESIDENT", "0")
     fn_chunk = D.plan_defect_relax(prob, geom, F32, interpret=True)
     assert fn_chunk.min_sweeps == D.MIXED_MIN_SWEEPS
-    a = np.asarray(fn_res(v, f, 5))
+    a32 = np.asarray(fn_f32(v, f, 5))
+    a16 = np.asarray(fn_bf16(v, f, 5))
     b = np.asarray(fn_chunk(v, f, 5))
     # the chunked inner hands f32 red values to the black half-sweep
-    # inside a chunk; the resident one quantizes between phases — the
-    # paths agree to O(eps_bf16) of the error moved
+    # inside a chunk; the resident ones differ by iterate quantization
+    # (f32: only the shared bf16 residual halves) — all paths agree to
+    # O(eps_bf16) of the error moved
     scale = np.max(np.abs(b - np.asarray(v)))
-    assert np.max(np.abs(a - b)) < 0.02 * scale
-    # and against the direct f32 sweeps (defect contract)
+    assert np.max(np.abs(a32 - b)) < 0.02 * scale
+    assert np.max(np.abs(a16 - b)) < 0.02 * scale
+    # and against the direct f32 sweeps (defect contract); the f32
+    # iterate only sees the one-time bf16 residual quantization, so it
+    # tracks the direct path tighter than the bf16 iterate does
     want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, 5))
-    assert np.max(np.abs(a - want)) < 0.02 * scale
+    err32 = np.max(np.abs(a32 - want))
+    err16 = np.max(np.abs(a16 - want))
+    assert err32 < 0.02 * scale
+    assert err16 < 0.02 * scale
+    assert err32 <= err16 * 1.05
 
 
 def test_mixed_solver_matches_f32_end_to_end():
