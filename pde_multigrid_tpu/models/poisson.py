@@ -195,6 +195,27 @@ class Poisson(ProblemBase):
             num = num + pairs[ax] * w
         return num * inv_den
 
+    def split_update_folded(self, pairs, f, geom: LevelGeometry):
+        """split_update with the scalar constants pre-folded to minimize
+        VPU ops (the ALL-sweeps-resident defect inner is arithmetic-
+        bound, ops/pallas/relax.make_split_resident_sweeps).  Isotropic
+        spacing folds to (px+py+pz)*c1 - f*c2; anisotropic keeps per-
+        axis weights but folds the final reciprocal into them.  Same
+        fixed point as split_update, different rounding/accumulation
+        order (acceptable: the defect path is tolerance-tested, not
+        bit-compared)."""
+        inv_h2 = [1.0 / (h * h) for h in geom.spacing]
+        inv_den = 1.0 / (2.0 * sum(inv_h2))
+        if len(set(geom.spacing)) == 1:
+            s = pairs[0]
+            for p in pairs[1:]:
+                s = s + p
+            return s * (inv_h2[0] * inv_den) - f * inv_den
+        out = -f * inv_den
+        for p, w in zip(pairs, inv_h2):
+            out = out + p * (w * inv_den)
+        return out
+
     def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
         """2D color-split local solve (relax.make_split_color_slab_2d):
         nbr(axis, off) gathers the opposite color's neighbor.  `f is

@@ -1171,6 +1171,11 @@ def make_split_resident_sweeps(
     ext = B + 2
     nblk = X // B
     tail = (Y2, Z)
+    # constant-folded local solve when the problem provides one (fewer
+    # VPU ops; PDE_MG_RESIDENT_FOLDED=0 keeps split_update for A/Bs)
+    upd_fn = problem.split_update
+    if os.environ.get("PDE_MG_RESIDENT_FOLDED", "1") == "1":
+        upd_fn = getattr(problem, "split_update_folded", upd_fn)
 
     def kernel(
         rr_hbm, rb_hbm, er_hbm, eb_hbm,
@@ -1234,7 +1239,7 @@ def make_split_resident_sweeps(
                     )
                 pz = jnp.roll(wo, 1, 2) + jnp.roll(wo, -1, 2)
                 fr = rhs[pl.ds(p * B, B)].astype(cdt)
-                upd = problem.split_update((px, py, pz), fr, geom)
+                upd = upd_fn((px, py, pz), fr, geom)
                 out = jnp.where(ok, upd, zero_c)
                 dst[pl.ds(s + 1, B)] = (
                     out if idt == cdt else out.astype(idt)
