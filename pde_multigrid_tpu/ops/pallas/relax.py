@@ -1212,8 +1212,18 @@ def make_split_resident_sweeps(
         q1o = ((go + izo) % 2) == 1
         jj = lax.broadcasted_iota(jnp.int32, (1, Y2, 1), 1)
         okz = izo >= 1
+        # masked-off error points are identically zero, so the masked
+        # write could be a plain f32 multiply — but hardware A/B (129^3,
+        # interleaved) measured where-with-hoisted-BOOL-mask faster than
+        # the f32 broadcast multiply (9.7-10.1 vs 10.6-10.8 us/sweep);
+        # the broadcast mask pays VMEM-load bandwidth the bool does not.
+        # (The 2D slab kernel measured the OPPOSITE: see use_sel there.)
+        sel = os.environ.get("PDE_MG_RESIDENT_MASK", "where")
         ok_r = ((jj >= 1) | q1o) & okz
         ok_b = ((jj >= 1) | ~q1o) & okz
+        if sel == "mul":
+            ok_r = jnp.broadcast_to(ok_r, (B,) + tail).astype(cdt)
+            ok_b = jnp.broadcast_to(ok_b, (B,) + tail).astype(cdt)
         zero_c = jnp.zeros((), cdt)
         own = slice(1, B + 1)
 
@@ -1240,7 +1250,9 @@ def make_split_resident_sweeps(
                 pz = jnp.roll(wo, 1, 2) + jnp.roll(wo, -1, 2)
                 fr = rhs[pl.ds(p * B, B)].astype(cdt)
                 upd = upd_fn((px, py, pz), fr, geom)
-                out = jnp.where(ok, upd, zero_c)
+                out = ok * upd if sel == "mul" else jnp.where(
+                    ok, upd, zero_c
+                )
                 dst[pl.ds(s + 1, B)] = (
                     out if idt == cdt else out.astype(idt)
                 )
@@ -1378,6 +1390,10 @@ def make_split_color_slab_2d(
     B = slab_rows
     T = sweeps_per_call
     x_offs = tuple(getattr(problem, "split2d_x_offsets", (-1, +1)))
+    # OFF by default: hardware A/B (2049^2 L0 leg, interleaved) measured
+    # jnp.where ~15-25% SLOWER than the f32 mask blend on the v5e VPU
+    # (28.6-32.4 vs 36.3-36.6 us/sweep, bitwise-identical results)
+    use_sel = os.environ.get("PDE_MG_RBGS_SELECT", "0") == "1"
     halo = _round_up(2 * T, 8)
     halo_lo = halo if -1 in x_offs else 0
     halo_hi = halo if +1 in x_offs else 0
@@ -1475,8 +1491,10 @@ def make_split_color_slab_2d(
             y_r = 2 * jj + qi
             y_b = 2 * jj + 1 - qi
             okx = (g >= 1) & (g <= geom.shape[0] - 2)
-            m_r = ((y_r >= 1) & (y_r <= ny - 2) & okx).astype(dtype)
-            m_b = ((y_b >= 1) & (y_b <= ny - 2) & okx).astype(dtype)
+            m_r = (y_r >= 1) & (y_r <= ny - 2) & okx
+            m_b = (y_b >= 1) & (y_b <= ny - 2) & okx
+            if not use_sel:
+                m_r, m_b = m_r.astype(dtype), m_b.astype(dtype)
             # per-color coefficient fields at the color's own coords
             lo0, hi0 = geom.domain[0]
             lo1, hi1 = geom.domain[1]
@@ -1509,11 +1527,17 @@ def make_split_color_slab_2d(
                 upd = problem.split_update2d(
                     nbr_factory(b, q1), fr, pre_r, geom
                 )
-                r = r + m_r * (upd - r)
+                # select, not blend: bitwise the reference's in-place
+                # write at masked-on points and 2 fewer VPU ops
+                r = jnp.where(m_r, upd, r) if use_sel else (
+                    r + m_r * (upd - r)
+                )
                 upd = problem.split_update2d(
                     nbr_factory(r, jnp.logical_not(q1)), fb, pre_b, geom
                 )
-                b = b + m_b * (upd - b)
+                b = jnp.where(m_b, upd, b) if use_sel else (
+                    b + m_b * (upd - b)
+                )
                 return r, b
 
             if nsweeps_here == 1:
@@ -2043,7 +2067,10 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         n_sides = len(
             {s for s in getattr(problem, "split2d_x_offsets", (-1, 1))}
         )
-        for B in (64, 32, 16, 8):
+        # B=128 hardware-A/B'd at 2049^2: 26.8 vs 29.5 us/sweep over B=64
+        # (halo-redundant compute 1.125x vs 1.25x); B=256 busts scoped
+        # VMEM (measured 16.71M > 16M) and the cost model rejects it
+        for B in (128, 64, 32, 16, 8):
             ext = B + n_sides * _round_up(2 * T2, 8)
             if shape[0] < ext:
                 continue
