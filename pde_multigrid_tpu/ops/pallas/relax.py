@@ -1319,6 +1319,306 @@ def make_split_resident_sweeps(
     return relax_raw
 
 
+def make_split_timeskew_relax(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    sweeps_per_call: int = 8,
+    interpret=False,
+    raw: bool = False,
+    compute_dtype=None,
+):
+    """Time-skewed (parallelogram temporal-blocked) split-color RBGS.
+
+    The trapezoidal slab kernels trade redundant halo COMPUTE for HBM
+    traffic — a trade that collapses at 257^3-class levels, where VMEM
+    only affords small blocks and T=2 already doubles the work
+    (hardware-measured 740 vs 358 us/sweep).  This kernel instead
+    pipelines a wavefront of whole (Y/2, Z) half-planes through VMEM
+    ring buffers with the classic time-skew schedule: by the time plane
+    x arrives, sweep s may finalize red plane x-2s+1 and black plane
+    x-2s (red_s needs black_{s-1}[x-1..x+1]; black_s needs
+    red_s[x-1..x+1]).  Every plane is read ONCE and written ONCE per T
+    sweeps with ZERO redundant arithmetic:
+
+        traffic/point/T-sweeps = read(black, fr, fb) + write(r, b)
+                               = 10 bytes  ->  1.25 B/point/sweep at T=8
+
+    against the trapezoidal kernels' ~14-24 B/point/sweep — the leg
+    moves from HBM-bound to the VPU roofline at any level too large for
+    the fully-resident kernels.
+
+    Exactness: the schedule computes precisely the global red->black
+    ordering (every red plane of sweep s is a pure function of sweep
+    s-1 black planes), so results match the jnp tier's relax_rbgs up to
+    the masked-write form.  Wrap storage is homogeneous-Dirichlet
+    (grid.py), so all masked-off values are identically ZERO: updates
+    are written as where(ok, upd, 0), the red input stream is never
+    read (Gauss-Seidel fully replaces red before its first use), and
+    wrap reads of planes 0 / X resolve to zeros — the ramp reads hit
+    pre-zeroed ring slots (every level's plane-0 read happens before
+    its slot-0 is first overwritten), and the +1-side reads are gated
+    by a scalar 0/1 factor.
+
+    Ring residency per call: black levels s=0..T (ingest ring 4, else
+    3 planes), red levels s=1..T (3 planes), f halves (2T+1 planes
+    each) — ~(10T + 9) half-planes, e.g. ~11.4 MB at 257^3 with T=8.
+
+    Replaces the reference's per-sweep CUDARelax launches at the sizes
+    its own CUDA headline ran (257^3, CUDA Poisson 3D/main.cu:18).
+    """
+    assert geom.wrap and geom.ndim == 3
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    cdt = jnp.dtype(compute_dtype or dtype)
+    assert interpret or (Z % 128 == 0 and Y2 % 8 == 0)
+    assert X % 2 == 0
+    assert geom.shape[0] - 2 == X - 1  # wrap: only row 0 non-interior
+    plane = (Y2, Z)
+    # default: jnp-tier accumulation order (bitwise-tracking results);
+    # PDE_MG_TIMESKEW_FOLDED=1 uses the constant-folded local solve
+    upd_fn = problem.split_update
+    if os.environ.get("PDE_MG_TIMESKEW_FOLDED", "0") == "1":
+        upd_fn = getattr(problem, "split_update_folded", upd_fn)
+
+    def kernel(*refs, T):
+        # f rings: plane x is read until step x+2T (fb at sweep T), and
+        # the prefetch for plane t+1 starts at the TOP of step t — 2T+2
+        # slots keep the in-flight DMA disjoint from every live read
+        FR = 2 * T + 2
+        (bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm) = refs[:5]
+        b0s = refs[5]
+        bss = refs[6 : 6 + T]  # black sweeps 1..T, ring 3 each
+        rss = refs[6 + T : 6 + 2 * T]  # red sweeps 1..T, ring 3 each
+        frs, fbs, in_sem, out_sem = refs[6 + 2 * T :]
+
+        def in_dmas(x):
+            return [
+                pltpu.make_async_copy(
+                    bv_hbm.at[pl.ds(x, 1)],
+                    b0s.at[pl.ds(lax.rem(x, 4), 1)],
+                    in_sem.at[0],
+                ),
+                pltpu.make_async_copy(
+                    rf_hbm.at[pl.ds(x, 1)],
+                    frs.at[pl.ds(lax.rem(x, FR), 1)],
+                    in_sem.at[1],
+                ),
+                pltpu.make_async_copy(
+                    bf_hbm.at[pl.ds(x, 1)],
+                    fbs.at[pl.ds(lax.rem(x, FR), 1)],
+                    in_sem.at[2],
+                ),
+            ]
+
+        # pre-zero the v rings: ramp-time reads of "plane 0 / not yet
+        # born" land on zeros (correct: the stored plane 0 IS the zero
+        # boundary).  Every level's plane-0 read happens before that
+        # ring's slot 0 is first overwritten (plane 3 of level s is
+        # born after plane 0 of level s is last read).
+        zp = jnp.zeros((1,) + plane, dtype)
+        for k in range(4):
+            b0s[k : k + 1] = zp
+        for ring in (*bss, *rss):
+            for k in range(3):
+                ring[k : k + 1] = zp
+
+        jj = lax.broadcasted_iota(jnp.int32, (Y2, 1), 0)
+        iz = lax.broadcasted_iota(jnp.int32, (1, Z), 1)
+        okyz = (jj >= 1), (iz >= 1)
+        zero_c = jnp.zeros((), cdt)
+
+        for d in in_dmas(1):
+            d.start()
+
+        def read(ring, slot):
+            a = ring[slot]
+            return a.astype(cdt) if a.dtype != cdt else a
+
+        def update(x, src_ring, rhs_ring, red, T, FR):
+            slot = lax.rem(x, 3 if src_ring is not b0s else 4)
+            K = 3 if src_ring is not b0s else 4
+            c0 = read(src_ring, slot)
+            cm = read(src_ring, lax.rem(x - 1, K))
+            cp = read(src_ring, lax.rem(x + 1, K)) * (
+                x + 1 <= X - 1
+            ).astype(cdt)
+            px = cm + cp
+            q1 = ((x + iz) % 2) == 1
+            if red:
+                py = c0 + jnp.where(
+                    q1, jnp.roll(c0, -1, 0), jnp.roll(c0, 1, 0)
+                )
+            else:
+                py = c0 + jnp.where(
+                    q1, jnp.roll(c0, 1, 0), jnp.roll(c0, -1, 0)
+                )
+            pz = jnp.roll(c0, 1, 1) + jnp.roll(c0, -1, 1)
+            fh = read(rhs_ring, lax.rem(x, FR))
+            upd = upd_fn((px, py, pz), fh, geom)
+            ok = (okyz[0] | (q1 if red else ~q1)) & okyz[1]
+            out = jnp.where(ok, upd, zero_c)
+            return out if cdt == jnp.dtype(dtype) else out.astype(dtype)
+
+        def step(t, carry):
+            @pl.when(t <= X - 1)
+            def _():
+                for d in in_dmas(t):
+                    d.wait()
+
+            @pl.when(t + 1 <= X - 1)
+            def _():
+                for d in in_dmas(t + 1):
+                    d.start()
+
+            for s in range(1, T + 1):
+                xr = t - (2 * s - 1)
+                xb = t - 2 * s
+                src_r = b0s if s == 1 else bss[s - 2]
+
+                @pl.when((xr >= 1) & (xr <= X - 1))
+                def _(s=s, xr=xr, src_r=src_r):
+                    if s == T:
+                        # reuse-wait: the slot we are about to write was
+                        # DMA'd out when plane xr-3 was computed
+                        @pl.when(xr - 3 >= 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                rss[T - 1].at[pl.ds(lax.rem(xr, 3), 1)],
+                                ro_hbm.at[pl.ds(xr - 3, 1)],
+                                out_sem.at[0, lax.rem(xr - 3, 3)],
+                            ).wait()
+                    rss[s - 1][lax.rem(xr, 3)] = update(
+                        xr, src_r, frs, True, T, 2 * T + 2
+                    )
+                    if s == T:
+                        pltpu.make_async_copy(
+                            rss[T - 1].at[pl.ds(lax.rem(xr, 3), 1)],
+                            ro_hbm.at[pl.ds(xr, 1)],
+                            out_sem.at[0, lax.rem(xr, 3)],
+                        ).start()
+
+                @pl.when((xb >= 1) & (xb <= X - 1))
+                def _(s=s, xb=xb):
+                    if s == T:
+                        @pl.when(xb - 3 >= 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                bss[T - 1].at[pl.ds(lax.rem(xb, 3), 1)],
+                                bo_hbm.at[pl.ds(xb - 3, 1)],
+                                out_sem.at[1, lax.rem(xb - 3, 3)],
+                            ).wait()
+                    bss[s - 1][lax.rem(xb, 3)] = update(
+                        xb, rss[s - 1], fbs, False, T, 2 * T + 2
+                    )
+                    if s == T:
+                        pltpu.make_async_copy(
+                            bss[T - 1].at[pl.ds(lax.rem(xb, 3), 1)],
+                            bo_hbm.at[pl.ds(xb, 1)],
+                            out_sem.at[1, lax.rem(xb, 3)],
+                        ).start()
+
+            return carry
+
+        lax.fori_loop(1, X + 2 * T, step, 0)
+
+        # drain: the last 3 planes per color have un-waited out-DMAs
+        for dx in range(3):
+            x = X - 1 - dx
+            if x < 1:
+                continue
+            pltpu.make_async_copy(
+                rss[T - 1].at[pl.ds(x % 3, 1)],
+                ro_hbm.at[pl.ds(x, 1)],
+                out_sem.at[0, x % 3],
+            ).wait()
+            pltpu.make_async_copy(
+                bss[T - 1].at[pl.ds(x % 3, 1)],
+                bo_hbm.at[pl.ds(x, 1)],
+                out_sem.at[1, x % 3],
+            ).wait()
+
+        # plane 0 of both outputs is the zero boundary plane
+        zp_out = jnp.zeros((1,) + plane, dtype)
+        # (written via the HBM refs' first plane through a small copy)
+        b0s[0:1] = zp_out
+        cp0 = [
+            pltpu.make_async_copy(
+                b0s.at[pl.ds(0, 1)], ro_hbm.at[pl.ds(0, 1)], in_sem.at[0]
+            ),
+            pltpu.make_async_copy(
+                b0s.at[pl.ds(0, 1)], bo_hbm.at[pl.ds(0, 1)], in_sem.at[1]
+            ),
+        ]
+        for c in cp0:
+            c.start()
+        for c in cp0:
+            c.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(T: int):
+        FR = 2 * T + 2
+        return pl.pallas_call(
+            functools.partial(kernel, T=T),
+            out_shape=(
+                jax.ShapeDtypeStruct((X,) + plane, dtype),
+                jax.ShapeDtypeStruct((X,) + plane, dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[pltpu.VMEM((4,) + plane, dtype)]
+            + [pltpu.VMEM((3,) + plane, dtype) for _ in range(2 * T)]
+            + [
+                pltpu.VMEM((FR,) + plane, dtype),
+                pltpu.VMEM((FR,) + plane, dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            interpret=interpret,
+        )
+
+    T0 = sweeps_per_call
+
+    def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
+        """Raw color-split IO; the red input is never read (red is
+        fully replaced before first use in the red->black ordering)."""
+        if v_zero:
+            b = jnp.zeros((X,) + plane, dtype) if b is None else b
+        n_full, rem = divmod(nsweeps, T0)
+        if n_full:
+            full = build(T0)
+            if n_full == 1:
+                r, b = full(b, fr, fb)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[1], fr, fb),
+                    (b, b),
+                )
+        if rem:
+            r, b = build(rem)(b, fr, fb)
+        return r, b
+
+    relax_raw.supports_v_zero = True
+    relax_raw.out_dtype = jnp.dtype(dtype)
+    if raw:
+        return relax_raw
+
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
+    def relax(v, f, nsweeps: int):
+        _, b = csplit(v)
+        fr, fb = csplit(f)
+        r, b = relax_raw(None, b, fr, fb, nsweeps)
+        return cmerge(r, b)
+
+    return relax
+
+
 # ------------------------------------------ 2D color-split slab kernel
 
 
@@ -1919,6 +2219,9 @@ def make_split_slab_relax_2d(
 
 RESIDENT_VMEM_BUDGET = 9 * 2**20  # conservative: leave room for temps
 SLAB_VMEM_BUDGET = 12 * 2**20  # against the 16MB scoped-vmem hard limit
+# time-skew rings: (10T + 8) half-planes + ~8 planes of sweep temps;
+# T=8 at 257^3 = ~12.6 MB (T=10 compiled at ~15 MB but is gated off)
+TIMESKEW_VMEM_BUDGET = 14 * 2**20
 # split-kernel sweeps per HBM round trip.  Measured on TPU v5e (129^3):
 # T=2 is marginally SLOWER end-to-end (27.3 vs 26.5 ms/step) and doubles
 # Mosaic compile time — the DMA prefetch already hides most traffic.
@@ -1987,6 +2290,30 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         return make_resident_relax(problem, geom, dtype, interpret)
     if len(shape) == 1:
         return None  # 1D never exceeds the budget in practice
+    # time-skewed wavefront (3D wrap, constant-coefficient): zero
+    # redundant arithmetic at ~10 B/point per T sweeps — measured 2.5x
+    # over the 2D-blocked trapezoid at 257^3 (128-140 vs 345-349
+    # us/sweep, numerically identical).  Preferred for every slab-tier
+    # wrap level whose ring set fits VMEM.
+    if (
+        os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
+        and geom.wrap
+        and len(shape) == 3
+        and hasattr(problem, "split_update")
+        and shape[1] % 2 == 0
+        and shape[2] % 128 == 0
+        and (shape[1] // 2) % 8 == 0
+        and shape[0] >= 8
+    ):
+        P = (shape[1] // 2) * shape[2] * 4
+        t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))
+        for T in (t_cap, 6, 4, 2):
+            if T > t_cap or shape[0] < 2 * T:
+                continue
+            if (10 * T + 16) * P <= TIMESKEW_VMEM_BUDGET:
+                return make_split_timeskew_relax(
+                    problem, geom, dtype, T, interpret=interpret
+                )
     # color-split slab (3D wrap, constant-coefficient): ~half the
     # arithmetic of the dense masked slab.  Cost model: 8 double-buffered
     # half-plane slabs + 2 masks + ~4 roll temps, each ~loc rows.

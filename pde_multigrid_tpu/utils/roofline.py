@@ -95,6 +95,13 @@ def relax_traffic(
     if resident:
         per_leg = (n_reads + 1) * arr_bytes  # reads + write v, whole leg
         per_sweep = per_leg / max(sweeps, 1)
+    elif getattr(geom, "wrap", False) and geom.ndim == 3:
+        # time-skewed wavefront tier (relax.make_split_timeskew_relax):
+        # 10 B/point per T-sweep chunk (read black+fr+fb, write r+b),
+        # zero redundant compute
+        T = 8
+        chunks = -(-max(sweeps, 1) // T)
+        per_sweep = 2.5 * arr_bytes * chunks / max(sweeps, 1)
     else:
         halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
         per_sweep = arr_bytes * (n_reads * halo_f + 1)
@@ -176,13 +183,8 @@ def cycle_traffic_model(
                     t = dataclasses.replace(
                         t, bytes_per_sweep=per_leg / nu, resident=True
                     )
-                elif nu >= 8:
-                    per_leg_extra = 5.0 * t.stored_points * dtype_size
-                    t = dataclasses.replace(
-                        t,
-                        bytes_per_sweep=t.bytes_per_sweep / 2
-                        + per_leg_extra / nu,
-                    )
+                # (levels whose halves bust VMEM run the f32 time-skew
+                # tier — relax_traffic already models it)
             return t
 
         t0 = leg_traffic(legs_f0[l], True)

@@ -34,7 +34,7 @@ ker = prog.kernels
 levels = solver.fresh_levels()
 nl = len(levels)
 print(f"levels: {[g.padded_shape for g in solver.geoms]}", flush=True)
-L0, Lc = levels[0], levels[-1]
+L0, L1, Lc = levels[0], levels[1], levels[-1]
 v, f = L0.v, L0.f
 
 
@@ -73,7 +73,7 @@ timed("exact_coarse", chain(lambda vv: cs(vv, Lc.f, Lc.aux), Lc.v), 2, 22)
 
 # 2. fused residual+restrict L0 -> L1 (feed back via f32 epsilon)
 def rr_step(vv):
-    r = prog._fused("residual_restrict", 0, vv, f, L0.aux, Lc.aux)
+    r = prog._fused("residual_restrict", 0, vv, f, L0.aux, L1.aux)
     return vv + jnp.float32(1e-30) * r[1, 1, 1]
 
 
@@ -82,7 +82,7 @@ timed("residual_restrict", chain(rr_step, v), 2, 12)
 # 3. fused prolong+blend Lc -> L0 ("add" = coarse-grid correction)
 def pb_step(vv):
     return prog._fused(
-        "prolong_blend", 0, vv, Lc.v, L0.aux["m_int"], "add"
+        "prolong_blend", 0, vv, L1.v, L0.aux["m_int"], "add"
     )
 
 

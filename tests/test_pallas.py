@@ -324,6 +324,32 @@ def test_split_slab_kernel_matches_jnp(B, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n,T", [(17, 2), (33, 3)])
+def test_split_timeskew_kernel_matches_jnp(n, T):
+    """Time-skewed wavefront relaxation == dense masked relaxation:
+    the parallelogram schedule computes exactly the global red->black
+    ordering (red_s from black_{s-1} planes only).  nsweeps choices
+    exercise the single-chunk, chained-chunks, and remainder paths."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, n)
+    fn = R.make_split_timeskew_relax(
+        prob, geom, F32, sweeps_per_call=T, interpret=True
+    )
+    for ns in (1, T, 2 * T + 1):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize("n", [17, 33])
 def test_split_merged_kernel_matches_jnp(n):
     """Color-split merged-layout resident kernel (the coarse-level tier)
@@ -619,7 +645,11 @@ def test_planner_tier_selection_at_bench_sizes():
     assert tier(Lyapunov2D(), 513, 2, False) == (
         "make_split_color_slab_2d"
     )
-    assert tier(Poisson(3), 129, 3, True) == "make_split_slab_relax"
-    assert tier(Poisson(3), 257, 3, True) == "make_split_slab_relax_2d"
+    # 3D wrap slab-tier levels take the time-skewed wavefront (2.5x
+    # over the trapezoids at 257^3, hardware-A/B'd); 513^3 planes are
+    # too large for the T=2 ring set and fall back to the 2D-blocked
+    # trapezoid
+    assert tier(Poisson(3), 129, 3, True) == "make_split_timeskew_relax"
+    assert tier(Poisson(3), 257, 3, True) == "make_split_timeskew_relax"
     assert tier(Poisson(3), 513, 3, True) == "make_split_slab_relax_2d"
     assert tier(Ode1D(), 8193, 1, False) == "make_resident_relax"
