@@ -207,22 +207,53 @@ def main():
     step = jax.jit(bench_step, donate_argnums=0)
 
     levels = solver.fresh_levels()
-    t0 = time.perf_counter()
-    compiled = step.lower(levels).compile()
-    compile_s = time.perf_counter() - t0
 
-    # warmup: first execution includes lazy backend setup; sync via scalar
-    levels, l2, _ = compiled(levels)
-    float(l2)
+    # Chain the reps INSIDE one compiled program (lax.fori_loop with a
+    # dynamic trip count): a production solver iterates under jit, and
+    # the per-dispatch latency of this environment's TPU tunnel (~3-5 ms
+    # per call) would otherwise dominate sub-10 ms steps.  Fall back to
+    # python-loop chaining when the chained program exceeds the tunnel's
+    # upload limit (observed at 257^3).
+    from jax import lax
 
-    # timed region: keep chaining the compiled program (the schedule does
-    # identical work regardless of the state it starts from)
-    lv = levels
+    def chained(lv, n):
+        def body(_, carry):
+            lv, _, _ = carry
+            return bench_step(lv)
+
+        lv, l2, err = bench_step(lv)  # peel one: gives carry structure
+        return lax.fori_loop(1, n, body, (lv, l2, err))
+
     t0 = time.perf_counter()
-    for _ in range(args.reps):
-        lv, l2, err = compiled(lv)
-    l2_final = float(l2)  # 4-byte fetch forces completion of the chain
-    elapsed = time.perf_counter() - t0
+    compiled = None
+    try:
+        compiled = jax.jit(chained, donate_argnums=0).lower(
+            levels, jnp.int32(1)
+        ).compile()
+        compile_s = time.perf_counter() - t0
+        # warmup: first execution includes lazy backend setup (levels is
+        # donated, so thread the returned state into the timed call)
+        levels, l2, _ = compiled(levels, jnp.int32(1))
+        float(l2)
+        t0 = time.perf_counter()
+        lv, l2, err = compiled(levels, jnp.int32(args.reps))
+        del levels
+        l2_final = float(l2)  # 4-byte fetch forces chain completion
+        elapsed = time.perf_counter() - t0
+    except Exception as e:
+        print(f"[bench] chained-reps compile failed ({str(e)[:120]}); "
+              "falling back to per-call dispatch", file=sys.stderr)
+        t0 = time.perf_counter()
+        compiled = step.lower(levels).compile()
+        compile_s = time.perf_counter() - t0
+        levels, l2, _ = compiled(levels)
+        float(l2)
+        lv = levels
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            lv, l2, err = compiled(lv)
+        l2_final = float(l2)
+        elapsed = time.perf_counter() - t0
     per_step = elapsed / args.reps
 
     err_linf, res_l2 = float(err), l2_final
