@@ -2232,8 +2232,10 @@ SPLIT_SWEEPS_PER_CALL = 1
 # precompute.  Hardware A/B (scripts/ab_split2d_t.py, 2049^2, two
 # interleaved rounds): T=8 beat T=4 on every paired run — 33.3/35.3 vs
 # 38.7/37.0 ms/step at nu=100, 18.6/18.8 vs 21.8/25.5 ms at nu=40.
-# Env-tunable for re-measurement on other hardware.
-SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "8"))
+# Env-tunable for re-measurement on other hardware.  Round 2: with
+# B=128 now available, T=16 beats T=8 (25.7-25.9 vs 28.8-29.2 us/sweep,
+# two interleaved rounds at 2049^2 nu=96); T=24 is slightly worse.
+SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "16"))
 # smallest half-width (Y/2) level the 2D color-split kernel engages at:
 # below this the per-leg XLA split/merge conversions historically beat
 # the halved arithmetic; f_zero halves the conversion cost on root legs.

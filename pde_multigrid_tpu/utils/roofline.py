@@ -102,6 +102,10 @@ def relax_traffic(
         T = 8
         chunks = -(-max(sweeps, 1) // T)
         per_sweep = 2.5 * arr_bytes * chunks / max(sweeps, 1)
+    elif geom.ndim == 2:
+        # 2D color-split slab (relax.make_split_color_slab_2d): T=16
+        # sweeps per HBM round trip with a one-sided ~1.125x read halo
+        per_sweep = arr_bytes * (n_reads * 1.125 + 1) / 16
     else:
         halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
         per_sweep = arr_bytes * (n_reads * halo_f + 1)
