@@ -1619,6 +1619,292 @@ def make_split_timeskew_relax(
     return relax
 
 
+def make_split_timeskew_relax_jb(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    sweeps_per_call: int = 4,
+    block_j: int = 64,
+    interpret=False,
+    raw: bool = False,
+    compute_dtype=None,
+):
+    """j-blocked ("2.5D") time-skewed split-color RBGS (3D, wrap).
+
+    make_split_timeskew_relax keeps whole (Y/2, Z) half-planes in its
+    VMEM rings, which busts the budget once the plane reaches ~512 KB
+    (513^3 and up).  Here the j (Y/2) axis is blocked like the
+    trapezoidal kernels block it — each j-block runs the full x-axis
+    time-skew wavefront over (Bj + 2*halo_j) column windows, with
+    halo_j = round_up(2T, 8) columns of j-halo recomputed per side (the
+    standard trapezoid argument: halo corruption advances <= 2 columns
+    per red+black sweep, so owned columns stay exact for T sweeps).
+    Each window carries ONE appended always-zero column: the sub-plane
+    y-rolls wrap onto it at both real y boundaries (the clipping pins
+    real boundaries to window edges), reproducing the full-plane
+    kernel's wrap-to-zero reads exactly; interior window edges read
+    >= halo_j columns of real halo data instead.
+
+    Traffic/point/sweep = (6 * ext_j/Bj + 4) / T bytes — e.g. 2.9 B at
+    (Bj=64, T=4) against the 2D-blocked trapezoid's ~23 B — with
+    compute redundancy only ext_j/Bj (1.25 at Bj=64).
+    """
+    assert geom.wrap and geom.ndim == 3
+    X, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    cdt = jnp.dtype(compute_dtype or dtype)
+    T = sweeps_per_call
+    Bj = block_j
+    halo_j = _round_up(2 * T, 8)
+    ext_j = Bj + 2 * halo_j
+    loc_j = ext_j + 1  # + appended always-zero j-wrap column
+    assert interpret or Z % 128 == 0
+    assert Bj % 8 == 0 and Y2 % Bj == 0 and Y2 >= ext_j
+    assert X % 2 == 0
+    assert geom.shape[0] - 2 == X - 1
+    nblk_j = Y2 // Bj
+    max_js = Y2 - ext_j
+    plane = (loc_j, Z)
+    upd_fn = problem.split_update
+
+    def kernel(*refs, T):
+        FR = 2 * T + 2
+        (bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm) = refs[:5]
+        b0s = refs[5]
+        bss = refs[6 : 6 + T]
+        rss = refs[6 + T : 6 + 2 * T]
+        frs, fbs, in_sem, out_sem = refs[6 + 2 * T :]
+
+        jl = lax.broadcasted_iota(jnp.int32, (loc_j, 1), 0)
+        iz = lax.broadcasted_iota(jnp.int32, (1, Z), 1)
+        okz = iz >= 1
+        ok_app = jl < ext_j  # the appended zero column is never written
+        zero_c = jnp.zeros((), cdt)
+        zp = jnp.zeros((1,) + plane, dtype)
+
+        for jb in range(nblk_j):
+            js = min(max(jb * Bj - halo_j, 0), max_js)
+            off = jb * Bj - js
+            jj = js + jl  # global j of window columns
+
+            def in_dmas(x, js=js):
+                return [
+                    pltpu.make_async_copy(
+                        bv_hbm.at[pl.ds(x, 1), pl.ds(js, ext_j)],
+                        b0s.at[pl.ds(lax.rem(x, 4), 1), pl.ds(0, ext_j)],
+                        in_sem.at[0],
+                    ),
+                    pltpu.make_async_copy(
+                        rf_hbm.at[pl.ds(x, 1), pl.ds(js, ext_j)],
+                        frs.at[
+                            pl.ds(lax.rem(x, FR), 1), pl.ds(0, ext_j)
+                        ],
+                        in_sem.at[1],
+                    ),
+                    pltpu.make_async_copy(
+                        bf_hbm.at[pl.ds(x, 1), pl.ds(js, ext_j)],
+                        fbs.at[
+                            pl.ds(lax.rem(x, FR), 1), pl.ds(0, ext_j)
+                        ],
+                        in_sem.at[2],
+                    ),
+                ]
+
+            def out_dma(ring, hbm, x, slot, color, jb=jb, off=off):
+                return pltpu.make_async_copy(
+                    ring.at[pl.ds(slot, 1), pl.ds(off, Bj)],
+                    hbm.at[pl.ds(x, 1), pl.ds(jb * Bj, Bj)],
+                    out_sem.at[color, lax.rem(x, 3)],
+                )
+
+            # pre-zero the v rings (ramp reads + the appended column)
+            for k in range(4):
+                b0s[k : k + 1] = zp
+            for ring in (*bss, *rss):
+                for k in range(3):
+                    ring[k : k + 1] = zp
+
+            for d in in_dmas(1):
+                d.start()
+
+            def read(ring, slot):
+                a = ring[slot]
+                return a.astype(cdt) if a.dtype != cdt else a
+
+            def update(x, src_ring, rhs_ring, red, jj=jj):
+                K = 4 if src_ring is b0s else 3
+                c0 = read(src_ring, lax.rem(x, K))
+                cm = read(src_ring, lax.rem(x - 1, K))
+                cp = read(src_ring, lax.rem(x + 1, K)) * (
+                    x + 1 <= X - 1
+                ).astype(cdt)
+                px = cm + cp
+                q1 = ((x + iz) % 2) == 1
+                if red:
+                    py = c0 + jnp.where(
+                        q1, jnp.roll(c0, -1, 0), jnp.roll(c0, 1, 0)
+                    )
+                else:
+                    py = c0 + jnp.where(
+                        q1, jnp.roll(c0, 1, 0), jnp.roll(c0, -1, 0)
+                    )
+                pz = jnp.roll(c0, 1, 1) + jnp.roll(c0, -1, 1)
+                fh = read(rhs_ring, lax.rem(x, FR))
+                upd = upd_fn((px, py, pz), fh, geom)
+                ok = (
+                    ((jj >= 1) | (q1 if red else ~q1))
+                    & okz
+                    & ok_app
+                )
+                out = jnp.where(ok, upd, zero_c)
+                return (
+                    out if cdt == jnp.dtype(dtype) else out.astype(dtype)
+                )
+
+            def step(t, carry):
+                @pl.when(t <= X - 1)
+                def _():
+                    for d in in_dmas(t):
+                        d.wait()
+
+                @pl.when(t + 1 <= X - 1)
+                def _():
+                    for d in in_dmas(t + 1):
+                        d.start()
+
+                for s in range(1, T + 1):
+                    xr = t - (2 * s - 1)
+                    xb = t - 2 * s
+                    src_r = b0s if s == 1 else bss[s - 2]
+
+                    @pl.when((xr >= 1) & (xr <= X - 1))
+                    def _(s=s, xr=xr, src_r=src_r):
+                        if s == T:
+                            @pl.when(xr - 3 >= 1)
+                            def _():
+                                out_dma(
+                                    rss[T - 1], ro_hbm, xr - 3,
+                                    lax.rem(xr - 3, 3), 0,
+                                ).wait()
+                        rss[s - 1][lax.rem(xr, 3)] = update(
+                            xr, src_r, frs, True
+                        )
+                        if s == T:
+                            out_dma(
+                                rss[T - 1], ro_hbm, xr,
+                                lax.rem(xr, 3), 0,
+                            ).start()
+
+                    @pl.when((xb >= 1) & (xb <= X - 1))
+                    def _(s=s, xb=xb):
+                        if s == T:
+                            @pl.when(xb - 3 >= 1)
+                            def _():
+                                out_dma(
+                                    bss[T - 1], bo_hbm, xb - 3,
+                                    lax.rem(xb - 3, 3), 1,
+                                ).wait()
+                        bss[s - 1][lax.rem(xb, 3)] = update(
+                            xb, rss[s - 1], fbs, False
+                        )
+                        if s == T:
+                            out_dma(
+                                bss[T - 1], bo_hbm, xb,
+                                lax.rem(xb, 3), 1,
+                            ).start()
+
+                return carry
+
+            lax.fori_loop(1, X + 2 * T, step, 0)
+
+            for dx in range(3):
+                x = X - 1 - dx
+                if x < 1:
+                    continue
+                out_dma(rss[T - 1], ro_hbm, x, x % 3, 0).wait()
+                out_dma(bss[T - 1], bo_hbm, x, x % 3, 1).wait()
+
+            # plane 0 of both outputs: the zero boundary plane
+            b0s[0:1] = zp
+            cp0 = [
+                pltpu.make_async_copy(
+                    b0s.at[pl.ds(0, 1), pl.ds(0, Bj)],
+                    ro_hbm.at[pl.ds(0, 1), pl.ds(jb * Bj, Bj)],
+                    in_sem.at[0],
+                ),
+                pltpu.make_async_copy(
+                    b0s.at[pl.ds(0, 1), pl.ds(0, Bj)],
+                    bo_hbm.at[pl.ds(0, 1), pl.ds(jb * Bj, Bj)],
+                    in_sem.at[1],
+                ),
+            ]
+            for c in cp0:
+                c.start()
+            for c in cp0:
+                c.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(T: int):
+        FR = 2 * T + 2
+        return pl.pallas_call(
+            functools.partial(kernel, T=T),
+            out_shape=(
+                jax.ShapeDtypeStruct((X, Y2, Z), dtype),
+                jax.ShapeDtypeStruct((X, Y2, Z), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[pltpu.VMEM((4,) + plane, dtype)]
+            + [pltpu.VMEM((3,) + plane, dtype) for _ in range(2 * T)]
+            + [
+                pltpu.VMEM((FR,) + plane, dtype),
+                pltpu.VMEM((FR,) + plane, dtype),
+                pltpu.SemaphoreType.DMA((3,)),
+                pltpu.SemaphoreType.DMA((2, 3)),
+            ],
+            interpret=interpret,
+        )
+
+    T0 = sweeps_per_call
+
+    def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
+        if v_zero:
+            b = jnp.zeros((X, Y2, Z), dtype) if b is None else b
+        n_full, rem = divmod(nsweeps, T0)
+        if n_full:
+            full = build(T0)
+            if n_full == 1:
+                r, b = full(b, fr, fb)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[1], fr, fb),
+                    (b, b),
+                )
+        if rem:
+            r, b = build(rem)(b, fr, fb)
+        return r, b
+
+    relax_raw.supports_v_zero = True
+    relax_raw.out_dtype = jnp.dtype(dtype)
+    if raw:
+        return relax_raw
+
+    csplit, cmerge = make_color_converters(geom, dtype, interpret)
+
+    def relax(v, f, nsweeps: int):
+        _, b = csplit(v)
+        fr, fb = csplit(f)
+        r, b = relax_raw(None, b, fr, fb, nsweeps)
+        return cmerge(r, b)
+
+    return relax
+
+
 # ------------------------------------------ 2D color-split slab kernel
 
 
@@ -2316,6 +2602,26 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                 return make_split_timeskew_relax(
                     problem, geom, dtype, T, interpret=interpret
                 )
+        # j-blocked ("2.5D") fallback: whole half-planes bust the rings
+        # (513^3 and up) — block j with round_up(2T, 8)-column halos.
+        # Hardware-validated at <= 257^3 (12 s compile, correct);
+        # at 513^3 THIS ENVIRONMENT's remote Mosaic compiler hangs on
+        # ANY kernel over the geometry (the trapezoids included), so
+        # 513^3 wall-clock could not be measured here.
+        Y2 = shape[1] // 2
+        for T in (4, 2):
+            if T > t_cap or shape[0] < 2 * T:
+                continue
+            hj = _round_up(2 * T, 8)
+            for Bj in (128, 64, 32):
+                if Y2 % Bj or Y2 < Bj + 2 * hj:
+                    continue
+                Pj = tile_padded_bytes((Bj + 2 * hj + 1, shape[2]))
+                if (10 * T + 16) * Pj <= TIMESKEW_VMEM_BUDGET:
+                    return make_split_timeskew_relax_jb(
+                        problem, geom, dtype, T, Bj,
+                        interpret=interpret,
+                    )
     # color-split slab (3D wrap, constant-coefficient): ~half the
     # arithmetic of the dense masked slab.  Cost model: 8 double-buffered
     # half-plane slabs + 2 masks + ~4 roll temps, each ~loc rows.

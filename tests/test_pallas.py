@@ -350,6 +350,32 @@ def test_split_timeskew_kernel_matches_jnp(n, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n,T,Bj", [(65, 2, 8), (65, 2, 16)])
+def test_split_timeskew_jb_kernel_matches_jnp(n, T, Bj):
+    """j-blocked (2.5D) time-skew == dense masked relaxation: clipped
+    j-windows with an appended always-zero column reproduce the
+    full-plane wrap-to-zero roll semantics at both real y boundaries,
+    and the round_up(2T, 8)-column j-halos keep owned columns exact."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, n)
+    fn = R.make_split_timeskew_relax_jb(
+        prob, geom, F32, sweeps_per_call=T, block_j=Bj, interpret=True
+    )
+    for ns in (1, 2 * T + 1):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize("n", [17, 33])
 def test_split_merged_kernel_matches_jnp(n):
     """Color-split merged-layout resident kernel (the coarse-level tier)
@@ -647,9 +673,11 @@ def test_planner_tier_selection_at_bench_sizes():
     )
     # 3D wrap slab-tier levels take the time-skewed wavefront (2.5x
     # over the trapezoids at 257^3, hardware-A/B'd); 513^3 planes are
-    # too large for the T=2 ring set and fall back to the 2D-blocked
-    # trapezoid
+    # too large for the full-plane ring set and take the j-blocked
+    # (2.5D) variant
     assert tier(Poisson(3), 129, 3, True) == "make_split_timeskew_relax"
     assert tier(Poisson(3), 257, 3, True) == "make_split_timeskew_relax"
-    assert tier(Poisson(3), 513, 3, True) == "make_split_slab_relax_2d"
+    assert tier(Poisson(3), 513, 3, True) == (
+        "make_split_timeskew_relax_jb"
+    )
     assert tier(Ode1D(), 8193, 1, False) == "make_resident_relax"
