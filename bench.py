@@ -221,8 +221,11 @@ def main():
             lv, _, _ = carry
             return bench_step(lv)
 
-        lv, l2, err = bench_step(lv)  # peel one: gives carry structure
-        return lax.fori_loop(1, n, body, (lv, l2, err))
+        # seed the scalar slots with zeros (no peeled step: duplicating
+        # bench_step would double the uploaded program and aggravate
+        # the tunnel's upload limit)
+        z = jnp.zeros((), jnp.float32)
+        return lax.fori_loop(0, n, body, (lv, z, z))
 
     t0 = time.perf_counter()
     compiled = None
@@ -241,8 +244,10 @@ def main():
         l2_final = float(l2)  # 4-byte fetch forces chain completion
         elapsed = time.perf_counter() - t0
     except Exception as e:
-        print(f"[bench] chained-reps compile failed ({str(e)[:120]}); "
+        print(f"[bench] chained-reps path failed ({str(e)[:120]}); "
               "falling back to per-call dispatch", file=sys.stderr)
+        # levels may have been donated to the failed call — rebuild
+        levels = solver.fresh_levels()
         t0 = time.perf_counter()
         compiled = step.lower(levels).compile()
         compile_s = time.perf_counter() - t0

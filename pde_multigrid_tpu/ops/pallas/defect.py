@@ -300,7 +300,7 @@ def plan_defect_relax(
                 + relax_mod.tile_padded_bytes((X, Y2, Z), isz) * 2
             )
             for B in ((force_b,) if force_b else (8, 16, 4)):
-                if X % B:
+                if X % B or B % 2:
                     continue
                 temps = relax_mod.tile_padded_bytes((B + 2, Y2, Z), 4) * 10
                 if res_bytes + temps <= budget:

@@ -1164,7 +1164,8 @@ def make_split_resident_sweeps(
     cdt = jnp.dtype(compute_dtype or dtype)
     idt = jnp.dtype(iterate_dtype or dtype)
     B = block_rows
-    assert X % B == 0 and B % 2 == 0 and Z % 128 == 0 and Y2 % 8 == 0
+    assert X % B == 0 and B % 2 == 0
+    assert interpret or (Z % 128 == 0 and Y2 % 8 == 0)
     # wrap storage: row 0 is the only stored non-interior x row (the
     # re-zero-row-0 scheme below relies on this)
     assert geom.shape[0] - 2 == X - 1
@@ -1435,10 +1436,9 @@ def make_split_timeskew_relax(
             a = ring[slot]
             return a.astype(cdt) if a.dtype != cdt else a
 
-        def update(x, src_ring, rhs_ring, red, T, FR):
-            slot = lax.rem(x, 3 if src_ring is not b0s else 4)
-            K = 3 if src_ring is not b0s else 4
-            c0 = read(src_ring, slot)
+        def update(x, src_ring, rhs_ring, red):
+            K = 4 if src_ring is b0s else 3
+            c0 = read(src_ring, lax.rem(x, K))
             cm = read(src_ring, lax.rem(x - 1, K))
             cp = read(src_ring, lax.rem(x + 1, K)) * (
                 x + 1 <= X - 1
@@ -1489,7 +1489,7 @@ def make_split_timeskew_relax(
                                 out_sem.at[0, lax.rem(xr - 3, 3)],
                             ).wait()
                     rss[s - 1][lax.rem(xr, 3)] = update(
-                        xr, src_r, frs, True, T, 2 * T + 2
+                        xr, src_r, frs, True
                     )
                     if s == T:
                         pltpu.make_async_copy(
@@ -1509,7 +1509,7 @@ def make_split_timeskew_relax(
                                 out_sem.at[1, lax.rem(xb - 3, 3)],
                             ).wait()
                     bss[s - 1][lax.rem(xb, 3)] = update(
-                        xb, rss[s - 1], fbs, False, T, 2 * T + 2
+                        xb, rss[s - 1], fbs, False
                     )
                     if s == T:
                         pltpu.make_async_copy(

@@ -96,16 +96,27 @@ def relax_traffic(
         per_leg = (n_reads + 1) * arr_bytes  # reads + write v, whole leg
         per_sweep = per_leg / max(sweeps, 1)
     elif getattr(geom, "wrap", False) and geom.ndim == 3:
-        # time-skewed wavefront tier (relax.make_split_timeskew_relax):
-        # 10 B/point per T-sweep chunk (read black+fr+fb, write r+b),
-        # zero redundant compute
-        T = 8
+        # time-skewed wavefront tiers (relax.make_split_timeskew_relax
+        # / _jb): 10 B/point per T-sweep chunk (read black+fr+fb, write
+        # r+b); the j-blocked variant reads with an ext_j/Bj halo
+        # factor.  Mirror the planner's tier/parameter choice.
+        from pde_multigrid_tpu.ops.pallas import relax as _relax
+
+        P = (geom.padded_shape[1] // 2) * geom.padded_shape[2] * 4
+        T, halo_f = 8, 1.0
+        if (10 * 8 + 16) * P > _relax.TIMESKEW_VMEM_BUDGET:
+            T, halo_f = 4, 80.0 / 64.0  # jb fallback (Bj=64, T=4)
         chunks = -(-max(sweeps, 1) // T)
-        per_sweep = 2.5 * arr_bytes * chunks / max(sweeps, 1)
+        per_chunk = arr_bytes * (1.5 * halo_f + 1.0)
+        per_sweep = per_chunk * chunks / max(sweeps, 1)
     elif geom.ndim == 2:
-        # 2D color-split slab (relax.make_split_color_slab_2d): T=16
-        # sweeps per HBM round trip with a one-sided ~1.125x read halo
-        per_sweep = arr_bytes * (n_reads * 1.125 + 1) / 16
+        # 2D color-split slab (relax.make_split_color_slab_2d):
+        # SPLIT2D_T sweeps per HBM round trip, one-sided ~1.125x halo
+        from pde_multigrid_tpu.ops.pallas import relax as _relax
+
+        per_sweep = (
+            arr_bytes * (n_reads * 1.125 + 1) / _relax.SPLIT2D_T
+        )
     else:
         halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
         per_sweep = arr_bytes * (n_reads * halo_f + 1)
@@ -168,13 +179,19 @@ def cycle_traffic_model(
         nu = (nu1 + nu2) // 2 or 1
 
         def leg_traffic(n_legs, f_zero):
+            from pde_multigrid_tpu.ops.pallas import defect as _defect
+
             t = relax_traffic(g, nu, dtype_size, f_zero=f_zero)
             t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
-            if precision == "mixed" and not t.resident and nu >= 4:
+            if (
+                precision == "mixed"
+                and not t.resident
+                and nu >= _defect.RESIDENT_MIN_SWEEPS
+            ):
                 # defect-correction leg: four bf16 color-split halves
                 # (one field's two halves = stored points x 2 bytes)
                 halves_bytes = t.stored_points * 2
-                if 2 * halves_bytes <= 13 * 2**20:
+                if 2 * halves_bytes <= _defect.RESIDENT_DEFECT_BUDGET:
                     # ALL-sweeps-resident inner (defect.py): per LEG,
                     # rsplit reads v[+f] and writes the residual halves,
                     # the inner reads them and writes the error halves,

@@ -350,6 +350,37 @@ def test_split_timeskew_kernel_matches_jnp(n, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n,B", [(17, 8), (33, 8), (33, 16)])
+def test_split_resident_sweeps_matches_jnp(n, B):
+    """ALL-sweeps-resident error-equation kernel == dense masked sweeps
+    from a zero start (homogeneous-Dirichlet wrap level): small-n
+    interpret-mode parity for the hoisted-mask / re-zero-row-0 /
+    padding-row scheme, independent of test_mixed's end-to-end
+    tolerance checks."""
+    prob = Poisson(3)
+    geoms, geom, aux, v, f = _wrap_level(prob, n)
+    X, Y, Z = geom.padded_shape
+    qb = R._split_qmask(X, Z)
+    fr, fb = R.split_colors(f, qb)
+    fn = R.make_split_resident_sweeps(
+        prob, geom, F32, B, interpret=True, iterate_dtype=jnp.float32
+    )
+    for ns in (1, 4):
+        er, eb = fn(None, None, fr, fb, ns, v_zero=True)
+        got = np.asarray(R.merge_colors(er, eb, qb))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                jnp.zeros_like(v),
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
 @pytest.mark.parametrize("n,T,Bj", [(65, 2, 8), (65, 2, 16)])
 def test_split_timeskew_jb_kernel_matches_jnp(n, T, Bj):
     """j-blocked (2.5D) time-skew == dense masked relaxation: clipped
