@@ -139,3 +139,10 @@ class Ode1D(ProblemBase):
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         east = self.shift(v, v.ndim - 1, +1)
         return east * pre["a_e"] + f * pre["a_f"]
+
+    def split_update1d(self, east, f, pre, geom: LevelGeometry):
+        """Local solve on 1D color-split storage (relax.
+        make_split_resident_relax_1d): `east` is the opposite color's
+        east-neighbor gather, `pre` this color's coefficient fields.
+        Same term order as kernel_update."""
+        return east * pre["a_e"] + f * pre["a_f"]

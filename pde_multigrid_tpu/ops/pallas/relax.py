@@ -189,6 +189,92 @@ def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     return relax
 
 
+def make_split_resident_relax_1d(
+    problem, geom: LevelGeometry, dtype, interpret=False
+):
+    """1D color-split resident relaxation (padded storage).
+
+    The dense 1D resident kernel computes every point's local solve in
+    BOTH colored phases and discards half — and the reference's 1D
+    update (Ode1D) reads only the east neighbor, so the waste dominates
+    the tiny per-point arithmetic.  Red/black live as (1, N/2) lane
+    halves (red = even global index): red's east neighbor is black at
+    the SAME lane (no shift at all), black's east is red at lane+1 (one
+    lane roll).  Coefficient fields are hoisted per color outside the
+    sweep loop; all nu sweeps run in one invocation like the dense
+    resident kernel.  Requires `problem.split_update1d(east, f, pre)`.
+
+    Replaces the reference's per-sweep CUDARelax launches for the 1D
+    family (CUDA 1D/MultiGrid1D.cu:249-272) at ~half the arithmetic.
+    """
+    assert geom.ndim == 1 and not geom.wrap
+    (N,) = geom.padded_shape
+    assert N % 2 == 0
+    N2 = N // 2
+    n = geom.shape[0]
+
+    def kernel(r_ref, b_ref, fr_ref, fb_ref, ro_ref, bo_ref, *, nsweeps):
+        ii = lax.broadcasted_iota(jnp.int32, (1, N2), 1)
+        lo, hi = geom.domain[0]
+        h = jnp.asarray(geom.spacing[0], dtype)
+        x0 = jnp.asarray(geom.origin[0], dtype)
+
+        def coords(g):
+            x = x0 + g.astype(dtype) * h
+            return jnp.clip(x, min(lo, hi), max(lo, hi))
+
+        g_r, g_b = 2 * ii, 2 * ii + 1
+        pre_r = problem.kernel_precompute((coords(g_r),), geom, dtype)
+        pre_b = problem.kernel_precompute((coords(g_b),), geom, dtype)
+        m_r = ((g_r >= 1) & (g_r <= n - 2)).astype(dtype)
+        m_b = (g_b <= n - 2).astype(dtype)  # odd index is always >= 1
+        fr, fb = fr_ref[:], fb_ref[:]
+
+        def one_sweep(_, rb):
+            r, b = rb
+            upd = problem.split_update1d(b, fr, pre_r, geom)
+            r = r + m_r * (upd - r)
+            upd = problem.split_update1d(
+                jnp.roll(r, -1, 1), fb, pre_b, geom
+            )
+            b = b + m_b * (upd - b)
+            return r, b
+
+        r, b = lax.fori_loop(
+            0, nsweeps, one_sweep, (r_ref[:], b_ref[:])
+        )
+        ro_ref[:] = r
+        bo_ref[:] = b
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps: int):
+        return pl.pallas_call(
+            functools.partial(kernel, nsweeps=nsweeps),
+            out_shape=(
+                jax.ShapeDtypeStruct((1, N2), dtype),
+                jax.ShapeDtypeStruct((1, N2), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=(
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )
+
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
+        assert not f_zero
+        v2 = v.reshape(N2, 2)
+        f2 = f.reshape(N2, 2)
+        r, b = build(nsweeps)(
+            v2[:, 0][None], v2[:, 1][None], f2[:, 0][None], f2[:, 1][None]
+        )
+        return jnp.stack([r[0], b[0]], axis=1).reshape(N)
+
+    relax.supports_f_zero = False
+    return relax
+
+
 # --------------------------------------------------------------- slab kernel
 
 
@@ -2575,6 +2661,18 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # resident footprint: v, f, out, masks(2), pre, ~2 temps
     resident_cost = arr_bytes * (5 + n_pre + 2)
     if resident_cost <= RESIDENT_VMEM_BUDGET:
+        if (
+            len(shape) == 1
+            and not geom.wrap
+            and shape[0] % 2 == 0
+            and hasattr(problem, "split_update1d")
+        ):
+            # color-split halves: ~half the dense kernel's arithmetic
+            # (the 1D local solve is 2 FMAs; computing both colors
+            # everywhere and discarding half dominates)
+            return make_split_resident_relax_1d(
+                problem, geom, dtype, interpret
+            )
         return make_resident_relax(problem, geom, dtype, interpret)
     if len(shape) == 1:
         return None  # 1D never exceeds the budget in practice

@@ -350,6 +350,44 @@ def test_split_timeskew_kernel_matches_jnp(n, T):
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+@pytest.mark.parametrize("n", [129, 1025])
+def test_split_resident_1d_matches_jnp(n):
+    """1D color-split resident kernel == dense masked relaxation (same
+    blend form and term order; lane-split red/black halves)."""
+    from pde_multigrid_tpu.grid import base_aux, build_geometries
+
+    prob = Ode1D()
+    geoms = build_geometries((n,), prob.domain, None, pad_last_to=128)
+    geom = geoms[0]
+    aux = prob.make_aux(geom) if hasattr(prob, "make_aux") else base_aux(
+        geom
+    )
+    aux = {**base_aux(geom), **(aux or {})}
+    v = jnp.asarray(RNG.standard_normal(geom.padded_shape).astype(
+        np.float32))
+    f = jnp.asarray(RNG.standard_normal(geom.padded_shape).astype(
+        np.float32))
+    fn = R.make_split_resident_relax_1d(prob, geom, F32, interpret=True)
+    for ns in (1, 5):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(
+            stencil.relax_rbgs(
+                lambda vv, ff: prob.relax_update(vv, ff, geom, aux),
+                v,
+                f,
+                aux["m_red"],
+                aux["m_black"],
+                ns,
+            )
+        )
+        # padding beyond the logical extent is masked/inert — compare
+        # the stored points only
+        np.testing.assert_allclose(
+            got[: geom.shape[0]], want[: geom.shape[0]],
+            rtol=2e-5, atol=2e-6,
+        )
+
+
 @pytest.mark.parametrize("n,B", [(17, 8), (33, 8), (33, 16)])
 def test_split_resident_sweeps_matches_jnp(n, B):
     """ALL-sweeps-resident error-equation kernel == dense masked sweeps
@@ -711,4 +749,6 @@ def test_planner_tier_selection_at_bench_sizes():
     assert tier(Poisson(3), 513, 3, True) == (
         "make_split_timeskew_relax_jb"
     )
-    assert tier(Ode1D(), 8193, 1, False) == "make_resident_relax"
+    assert tier(Ode1D(), 8193, 1, False) == (
+        "make_split_resident_relax_1d"
+    )
