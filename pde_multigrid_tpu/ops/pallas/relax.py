@@ -1670,14 +1670,20 @@ def make_split_timeskew_relax(
 
     def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
         """Raw color-split IO; the red input is never read (red is
-        fully replaced before first use in the red->black ordering)."""
+        fully replaced before first use in the red->black ordering).
+        Small chunk counts are python-unrolled: this environment's
+        remote compiler hangs on lax.fori_loop AROUND 513^3-scale
+        pallas calls (unrolled chains of the same call compile in
+        seconds), and the unrolled HLO is tiny (one custom-call per
+        chunk)."""
         if v_zero:
             b = jnp.zeros((X,) + plane, dtype) if b is None else b
         n_full, rem = divmod(nsweeps, T0)
         if n_full:
             full = build(T0)
-            if n_full == 1:
-                r, b = full(b, fr, fb)
+            if n_full <= 8:
+                for _ in range(n_full):
+                    r, b = full(b, fr, fb)
             else:
                 r, b = lax.fori_loop(
                     0,
@@ -1743,7 +1749,11 @@ def make_split_timeskew_relax_jb(
     Bj = block_j
     halo_j = _round_up(2 * T, 8)
     ext_j = Bj + 2 * halo_j
-    loc_j = ext_j + 1  # + appended always-zero j-wrap column
+    # appended always-zero j-wrap columns, padded to a full sublane
+    # tile: a non-8-aligned sub-plane extent would make every y-roll a
+    # relayout.  All padding columns stay zero (masked writes), so the
+    # wrap reads land on zeros from either direction.
+    loc_j = ext_j + 8
     assert interpret or Z % 128 == 0
     assert Bj % 8 == 0 and Y2 % Bj == 0 and Y2 >= ext_j
     assert X % 2 == 0
@@ -1957,13 +1967,17 @@ def make_split_timeskew_relax_jb(
     T0 = sweeps_per_call
 
     def relax_raw(r, b, fr, fb, nsweeps: int, v_zero: bool = False):
+        # small chunk counts python-unrolled (see the full-plane
+        # kernel's relax_raw: fori around 513^3-scale pallas calls
+        # hangs this environment's remote compiler)
         if v_zero:
             b = jnp.zeros((X, Y2, Z), dtype) if b is None else b
         n_full, rem = divmod(nsweeps, T0)
         if n_full:
             full = build(T0)
-            if n_full == 1:
-                r, b = full(b, fr, fb)
+            if n_full <= 8:
+                for _ in range(n_full):
+                    r, b = full(b, fr, fb)
             else:
                 r, b = lax.fori_loop(
                     0,
@@ -2714,8 +2728,11 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
             for Bj in (128, 64, 32):
                 if Y2 % Bj or Y2 < Bj + 2 * hj:
                     continue
-                Pj = tile_padded_bytes((Bj + 2 * hj + 1, shape[2]))
-                if (10 * T + 16) * Pj <= TIMESKEW_VMEM_BUDGET:
+                # ring-set model: 10T+8 sub-planes (hardware-validated
+                # incl. (T=4, Bj=128) at 513^3: pipelined 1.25 ms/sweep,
+                # 20% over (4, 64))
+                Pj = tile_padded_bytes((Bj + 2 * hj + 8, shape[2]))
+                if (10 * T + 8) * Pj <= 15 * 2**20:
                     return make_split_timeskew_relax_jb(
                         problem, geom, dtype, T, Bj,
                         interpret=interpret,
