@@ -123,6 +123,14 @@ def main():
     )
     ap.add_argument("--pad-last", type=int, default=0,
                     help="pad last axis to this multiple (0 = auto)")
+    ap.add_argument(
+        "--chain-reps",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="run reps as one in-jit fori chain (auto: off at 513^3-"
+        "class sizes, where this environment's remote compiler hangs "
+        "on fori around the step's pallas calls)",
+    )
     args = ap.parse_args()
     args.n = args.n or PROBLEM_DEFAULTS[args.problem]["n"]
     args.nu = args.nu or PROBLEM_DEFAULTS[args.problem]["nu"]
@@ -229,7 +237,13 @@ def main():
 
     t0 = time.perf_counter()
     compiled = None
+    chain_ok = args.chain_reps == "on" or (
+        args.chain_reps == "auto"
+        and not (problem.ndim == 3 and args.n >= 513)
+    )
     try:
+        if not chain_ok:
+            raise RuntimeError("chained reps disabled at this size")
         compiled = jax.jit(chained, donate_argnums=0).lower(
             levels, jnp.int32(1)
         ).compile()
