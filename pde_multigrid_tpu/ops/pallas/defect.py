@@ -76,9 +76,11 @@ DEFECT_VMEM_BUDGET = 12 * 2**20
 
 # VMEM ceiling for the ALL-sweeps-resident inner smoother (the four bf16
 # halves + one f32 block window's temps must fit under the ~16 MB core
-# VMEM with margin); 129^3-class levels cost ~8.5 MB resident + ~2.5 MB
-# of B=8 window temps (hardware-validated; B=16's temps bust the margin)
-RESIDENT_DEFECT_BUDGET = 13 * 2**20
+# VMEM); 129^3-class levels cost ~8.5 MB resident + ~5.9 MB of B=16
+# window temps = 14.4 MB — hardware-validated (compiles and runs), and
+# B=16 measured ~7% faster sweeps than B=8 (median 9.76 vs 10.51
+# us/sweep over 6 interleaved rounds; smaller window-load redundancy)
+RESIDENT_DEFECT_BUDGET = 14 * 2**20 + 2**19
 
 # ceiling for the f32-ITERATE resident variant (error halves f32 = no
 # pack/unpack casts in the sweep body; residual halves stay bf16):
@@ -299,7 +301,7 @@ def plan_defect_relax(
                 relax_mod.tile_padded_bytes((X + 2, Y2, Z), ii) * 2
                 + relax_mod.tile_padded_bytes((X, Y2, Z), isz) * 2
             )
-            for B in ((force_b,) if force_b else (8, 16, 4)):
+            for B in ((force_b,) if force_b else (16, 8, 4)):
                 if X % B or B % 2:
                     continue
                 temps = relax_mod.tile_padded_bytes((B + 2, Y2, Z), 4) * 10
