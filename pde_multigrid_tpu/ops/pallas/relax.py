@@ -2704,6 +2704,13 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         and shape[2] % 128 == 0
         and (shape[1] // 2) % 8 == 0
         and shape[0] >= 8
+        # per-plane work must cover the wavefront's per-update fixed
+        # costs: at 129^3 (8K-point half-planes) the trapezoid slab
+        # measured FASTER (19-21 vs 31-33 us/sweep); at 257^3 (32K)
+        # the timeskew wins 2.5x.  Only matters for f32 mode — mixed
+        # precision serves 129^3-class legs via the resident defect
+        # inner anyway.
+        and (shape[1] // 2) * shape[2] >= 16384
     ):
         P = (shape[1] // 2) * shape[2] * 4
         t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))

@@ -741,10 +741,11 @@ def test_planner_tier_selection_at_bench_sizes():
         "make_split_color_slab_2d"
     )
     # 3D wrap slab-tier levels take the time-skewed wavefront (2.5x
-    # over the trapezoids at 257^3, hardware-A/B'd); 513^3 planes are
-    # too large for the full-plane ring set and take the j-blocked
-    # (2.5D) variant
-    assert tier(Poisson(3), 129, 3, True) == "make_split_timeskew_relax"
+    # over the trapezoids at 257^3, hardware-A/B'd) once the half-plane
+    # is big enough to feed it (129^3's 8K-point planes measured
+    # faster on the trapezoid slab); 513^3 planes are too large for
+    # the full-plane ring set and take the j-blocked (2.5D) variant
+    assert tier(Poisson(3), 129, 3, True) == "make_split_slab_relax"
     assert tier(Poisson(3), 257, 3, True) == "make_split_timeskew_relax"
     assert tier(Poisson(3), 513, 3, True) == (
         "make_split_timeskew_relax_jb"
