@@ -103,7 +103,10 @@ def main():
     ap.add_argument("--n", type=int, default=0, help="0 = per-problem default")
     ap.add_argument("--nu", type=int, default=0, help="0 = per-problem default")
     ap.add_argument("--nu0", type=int, default=2)
-    ap.add_argument("--reps", type=int, default=5)
+    # default reps: the chained program is ONE tunnel dispatch whose
+    # ~20-30 ms latency is part of the measured wall-clock — 30 reps
+    # keep that fixed share under ~1 ms/step at the default configs
+    ap.add_argument("--reps", type=int, default=30)
     ap.add_argument("--backend", default="auto")
     ap.add_argument(
         "--precision",
