@@ -1522,7 +1522,7 @@ def make_split_timeskew_relax(
             a = ring[slot]
             return a.astype(cdt) if a.dtype != cdt else a
 
-        def update(x, src_ring, rhs_ring, red):
+        def update(x, src_ring, rhs_ring, red, q1, ok):
             K = 4 if src_ring is b0s else 3
             c0 = read(src_ring, lax.rem(x, K))
             cm = read(src_ring, lax.rem(x - 1, K))
@@ -1530,7 +1530,6 @@ def make_split_timeskew_relax(
                 x + 1 <= X - 1
             ).astype(cdt)
             px = cm + cp
-            q1 = ((x + iz) % 2) == 1
             if red:
                 py = c0 + jnp.where(
                     q1, jnp.roll(c0, -1, 0), jnp.roll(c0, 1, 0)
@@ -1542,7 +1541,6 @@ def make_split_timeskew_relax(
             pz = jnp.roll(c0, 1, 1) + jnp.roll(c0, -1, 1)
             fh = read(rhs_ring, lax.rem(x, FR))
             upd = upd_fn((px, py, pz), fh, geom)
-            ok = (okyz[0] | (q1 if red else ~q1)) & okyz[1]
             out = jnp.where(ok, upd, zero_c)
             return out if cdt == jnp.dtype(dtype) else out.astype(dtype)
 
@@ -1556,6 +1554,14 @@ def make_split_timeskew_relax(
             def _():
                 for d in in_dmas(t + 1):
                     d.start()
+
+            # every red plane of this step has parity (t+1), every
+            # black plane parity t — hoist the parity/interiority masks
+            # to once per STEP instead of once per update
+            q1_r = ((t + 1 + iz) % 2) == 1
+            q1_b = ((t + iz) % 2) == 1
+            ok_r = (okyz[0] | q1_r) & okyz[1]
+            ok_b = (okyz[0] | ~q1_b) & okyz[1]
 
             for s in range(1, T + 1):
                 xr = t - (2 * s - 1)
@@ -1575,7 +1581,7 @@ def make_split_timeskew_relax(
                                 out_sem.at[0, lax.rem(xr - 3, 3)],
                             ).wait()
                     rss[s - 1][lax.rem(xr, 3)] = update(
-                        xr, src_r, frs, True
+                        xr, src_r, frs, True, q1_r, ok_r
                     )
                     if s == T:
                         pltpu.make_async_copy(
@@ -1595,7 +1601,7 @@ def make_split_timeskew_relax(
                                 out_sem.at[1, lax.rem(xb - 3, 3)],
                             ).wait()
                     bss[s - 1][lax.rem(xb, 3)] = update(
-                        xb, rss[s - 1], fbs, False
+                        xb, rss[s - 1], fbs, False, q1_b, ok_b
                     )
                     if s == T:
                         pltpu.make_async_copy(
