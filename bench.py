@@ -265,7 +265,12 @@ def main():
         t0 = time.perf_counter()
         lv, l2, err = compiled(lv, jnp.int32(args.reps))
         l2_final = float(l2)
-        elapsed = min(elapsed, time.perf_counter() - t0)
+        chain_times = (elapsed, time.perf_counter() - t0)
+        elapsed = min(chain_times)
+        timing_tag = (
+            f"best-of-2 chains=({chain_times[0]:.3f}s,"
+            f"{chain_times[1]:.3f}s)"
+        )
     except Exception as e:
         print(f"[bench] chained-reps path failed ({str(e)[:120]}); "
               "falling back to per-call dispatch", file=sys.stderr)
@@ -277,11 +282,18 @@ def main():
         levels, l2, _ = compiled(levels)
         float(l2)
         lv = levels
-        t0 = time.perf_counter()
-        for _ in range(args.reps):
-            lv, l2, err = compiled(lv)
-        l2_final = float(l2)
-        elapsed = time.perf_counter() - t0
+        chain_times = []
+        for _pass in range(2):  # best-of-2, same policy as the chained path
+            t0 = time.perf_counter()
+            for _ in range(args.reps):
+                lv, l2, err = compiled(lv)
+            l2_final = float(l2)
+            chain_times.append(time.perf_counter() - t0)
+        elapsed = min(chain_times)
+        timing_tag = (
+            f"best-of-2 passes=({chain_times[0]:.3f}s,"
+            f"{chain_times[1]:.3f}s) per-call-dispatch"
+        )
     per_step = elapsed / args.reps
 
     err_linf, res_l2 = float(err), l2_final
@@ -320,6 +332,7 @@ def main():
     print(
         f"[bench] {args.problem} n={args.n}^{ndim} fmg(nu0={c.nu0},nu={c.nu1}) backend={args.backend} "
         f"pad_last={args.pad_last} per_step={per_step:.4f}s reps={args.reps} "
+        f"[{timing_tag}] "
         f"compile={compile_s:.1f}s updates/step={updates:.3e} "
         f"err_linf={err_linf:.3e} res_l2={res_l2:.3e} "
         f"device={jax.devices()[0].device_kind}",
@@ -331,6 +344,11 @@ def main():
         solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu,
         precision=args.precision,
         rhs_zero=getattr(problem, "rhs_is_zero", False),
+        split_caps=(
+            hasattr(problem, "split_update")
+            or hasattr(problem, "split_update2d")
+            or problem.ndim == 1
+        ),
     )
     t_hbm = model_bytes / (roofline.DEFAULT_HBM_GBPS * 1e9)
     t_vpu = updates / roofline.vpu_bound_updates_per_s(ndim)

@@ -169,8 +169,13 @@ def rap_coarsen(
     dtype = m_int_c.dtype
 
     def rap(chi: Array) -> Array:
-        # P: prolong as an *error* field (zero boundary, interior only)
-        e_f = stencil_ops.prolong_linear(chi, fine_geom.padded_shape)
+        # P: prolong as an *error* field (zero boundary, interior only);
+        # under wrap storage use the periodic upsample — the same P the
+        # cycle applies (GalerkinKernels.prolong), so the probed A_c is
+        # exactly the cycle's R A P
+        e_f = stencil_ops.prolong_linear(
+            chi, fine_geom.padded_shape, periodic=fine_geom.wrap
+        )
         e_f = e_f * m_int_f
         # A on the fine interior
         a_e = op_fine.apply(e_f) * m_int_f

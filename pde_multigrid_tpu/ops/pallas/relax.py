@@ -49,13 +49,14 @@ def _round_up(n: int, m: int) -> int:
 
 
 def tile_padded_bytes(shape: Sequence[int], itemsize: int = 4) -> int:
-    """Physical VMEM footprint of an array under Mosaic (8, 128) tiling of
-    the last two dims (f32)."""
+    """Physical VMEM footprint of an array under Mosaic tiling of the last
+    two dims: (8, 128) for f32, (16, 128) for bf16 — the sublane tile is
+    32 bytes deep regardless of itemsize."""
     s = list(shape)
     if len(s) == 1:
         s = [1] + s
     s[-1] = _round_up(s[-1], 128)
-    s[-2] = _round_up(s[-2], 8)
+    s[-2] = _round_up(s[-2], 32 // itemsize)
     out = itemsize
     for d in s:
         out *= d

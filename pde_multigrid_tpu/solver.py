@@ -143,13 +143,10 @@ class MultigridSolver:
             if pad_sub == 0:
                 pad_sub = 8 if pallas_active else 1
         # storage mode: wrap storage (zero-waste 2^k arrays) requires
-        # homogeneous Dirichlet data; galerkin coarsening not yet wired
-        # for wrap (transfer-op probing assumes padded conventions)
+        # homogeneous Dirichlet data; galerkin coarsening probes RAP with
+        # the wrap-aware transfer ops, so the combination is supported
         wrap = False
-        if (
-            self.config.storage in ("auto", "wrap")
-            and self.config.cycle.coarse_operator != "galerkin"
-        ):
+        if self.config.storage in ("auto", "wrap"):
             wrap = _has_zero_boundary(problem, shape, dtype)
             if self.config.storage == "wrap" and not wrap:
                 raise ValueError(

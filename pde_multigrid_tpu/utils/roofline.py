@@ -72,6 +72,46 @@ def _interior_points(logical_shape: Sequence[int]) -> int:
     return out
 
 
+def _timeskew_params(shape, split_caps: bool):
+    """Mirror plan_relax's 3D-wrap time-skew engagement gates
+    (ops/pallas/relax.py): returns (T, halo_factor) when a time-skew
+    tier engages at this geometry, else None."""
+    import os
+
+    from pde_multigrid_tpu.ops.pallas import relax as _relax
+
+    Y2 = shape[1] // 2
+    if not (
+        split_caps
+        and os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
+        and shape[1] % 2 == 0
+        and shape[2] % 128 == 0
+        and Y2 % 8 == 0
+        and shape[0] >= 8
+        and Y2 * shape[2] >= 16384
+    ):
+        return None
+    P = Y2 * shape[2] * 4
+    t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))
+    for T in (t_cap, 6, 4, 2):
+        if T > t_cap or shape[0] < 2 * T:
+            continue
+        if (10 * T + 16) * P <= _relax.TIMESKEW_VMEM_BUDGET:
+            return T, 1.0
+    # j-blocked fallback: round_up(2T, 8)-column halos per side
+    for T in (4, 2):
+        if T > t_cap or shape[0] < 2 * T:
+            continue
+        hj = -(-2 * T // 8) * 8
+        for Bj in (128, 64, 32):
+            if Y2 % Bj or Y2 < Bj + 2 * hj:
+                continue
+            Pj = _relax.tile_padded_bytes((Bj + 2 * hj + 8, shape[2]))
+            if (10 * T + 8) * Pj <= 15 * 2**20:
+                return T, (Bj + 2 * hj) / Bj
+    return None
+
+
 def relax_traffic(
     geom,
     sweeps: int,
@@ -80,6 +120,7 @@ def relax_traffic(
     slab_halo_rows: int = 4,
     slab_block_rows: int = 16,
     f_zero: bool = False,
+    split_caps: bool = True,
 ) -> LevelTraffic:
     """HBM-traffic model of one relax leg at one level.
 
@@ -87,36 +128,51 @@ def relax_traffic(
     v per LEG regardless of nu.  Slab levels: per sweep, v and f are read
     with the trapezoidal halo factor (B + halo)/B and v is written once.
     f_zero: the RHS stream is statically dropped (relax.py f_zero path).
+    split_caps: the problem supplies split_update/split_update2d, so the
+    color-split tiers (time-skew, split-2D) are eligible — the traffic
+    figures mirror plan_relax's engagement gates, falling back to the
+    slab figure when a tier does not engage (jnp-only problems like HJB
+    pass split_caps=False and get the dense-slab figure everywhere).
     """
     stored = _stored_points(geom.padded_shape)
     arr_bytes = stored * dtype_size
     resident = arr_bytes * 7 <= resident_budget
     n_reads = 1 if f_zero else 2
+    shape = tuple(geom.padded_shape)
+    ts = (
+        _timeskew_params(shape, split_caps)
+        if (not resident and getattr(geom, "wrap", False) and geom.ndim == 3)
+        else None
+    )
     if resident:
         per_leg = (n_reads + 1) * arr_bytes  # reads + write v, whole leg
         per_sweep = per_leg / max(sweeps, 1)
-    elif getattr(geom, "wrap", False) and geom.ndim == 3:
+    elif ts is not None:
         # time-skewed wavefront tiers (relax.make_split_timeskew_relax
         # / _jb): 10 B/point per T-sweep chunk (read black+fr+fb, write
-        # r+b); the j-blocked variant reads with an ext_j/Bj halo
-        # factor.  Mirror the planner's tier/parameter choice.
-        from pde_multigrid_tpu.ops.pallas import relax as _relax
-
-        P = (geom.padded_shape[1] // 2) * geom.padded_shape[2] * 4
-        T, halo_f = 8, 1.0
-        if (10 * 8 + 16) * P > _relax.TIMESKEW_VMEM_BUDGET:
-            T, halo_f = 4, 80.0 / 64.0  # jb fallback (Bj=64, T=4)
+        # r+b); the j-blocked variant reads with an ext_j/Bj halo factor.
+        T, halo_f = ts
         chunks = -(-max(sweeps, 1) // T)
         per_chunk = arr_bytes * (1.5 * halo_f + 1.0)
         per_sweep = per_chunk * chunks / max(sweeps, 1)
     elif geom.ndim == 2:
-        # 2D color-split slab (relax.make_split_color_slab_2d):
-        # SPLIT2D_T sweeps per HBM round trip, one-sided ~1.125x halo
         from pde_multigrid_tpu.ops.pallas import relax as _relax
 
-        per_sweep = (
-            arr_bytes * (n_reads * 1.125 + 1) / _relax.SPLIT2D_T
-        )
+        if (
+            split_caps
+            and not getattr(geom, "wrap", False)
+            and shape[1] % 2 == 0
+            and shape[0] % 8 == 0
+            and shape[1] // 2 >= _relax.SPLIT2D_MIN_Y2
+        ):
+            # 2D color-split slab (relax.make_split_color_slab_2d):
+            # SPLIT2D_T sweeps per HBM round trip, one-sided ~1.125x halo
+            per_sweep = (
+                arr_bytes * (n_reads * 1.125 + 1) / _relax.SPLIT2D_T
+            )
+        else:
+            # dense 2D slab (make_slab_relax, T=4, 8-row halos, B=64)
+            per_sweep = arr_bytes * (n_reads * 80.0 / 64.0 + 1) / 4
     else:
         halo_f = (slab_block_rows + slab_halo_rows) / slab_block_rows
         per_sweep = arr_bytes * (n_reads * halo_f + 1)
@@ -140,6 +196,7 @@ def cycle_traffic_model(
     dtype_size: int = 4,
     precision: str = "f32",
     rhs_zero: bool = False,
+    split_caps: bool = True,
 ):
     """Per-level relax-leg counts and traffic for a V/FMG schedule (the
     transfer ops add one ~3-array pass per instance — folded in as a
@@ -181,7 +238,9 @@ def cycle_traffic_model(
         def leg_traffic(n_legs, f_zero):
             from pde_multigrid_tpu.ops.pallas import defect as _defect
 
-            t = relax_traffic(g, nu, dtype_size, f_zero=f_zero)
+            t = relax_traffic(
+                g, nu, dtype_size, f_zero=f_zero, split_caps=split_caps
+            )
             t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
             if (
                 precision == "mixed"

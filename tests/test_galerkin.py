@@ -163,3 +163,29 @@ def test_galerkin_fmg_poisson3d():
     )
     r = MultigridSolver(Poisson(3), 17, cfg).solve_to_tolerance()
     assert r.error_linf < 6e-3
+
+
+def test_galerkin_wrap_storage_matches_padded():
+    """Galerkin x wrap storage (solver.py): the wrap-probed RAP hierarchy
+    must converge identically to the padded-storage one (no silent
+    storage downgrade; VERDICT r2 weak #7)."""
+    from pde_multigrid_tpu.grid import to_logical
+
+    results = {}
+    for storage in ("wrap", "padded"):
+        cfg = SolverConfig(
+            cycle=CycleConfig("v", 0, 2, 2, coarse_operator="galerkin"),
+            max_cycles=4,
+            tol=0.0,
+            storage=storage,
+        )
+        s = MultigridSolver(Poisson(2), 65, cfg)
+        assert s.geoms[0].wrap == (storage == "wrap")
+        r = s.solve_to_tolerance()
+        hh = r.residual_history
+        assert hh[1] / hh[0] < 0.15, storage  # textbook rho under wrap too
+        assert r.error_linf < 4e-4, storage
+        results[storage] = np.asarray(to_logical(r.v, s.geoms[0]))
+    np.testing.assert_allclose(
+        results["wrap"], results["padded"], rtol=1e-4, atol=1e-6
+    )

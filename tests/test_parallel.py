@@ -71,13 +71,16 @@ def test_sharded_solve_matches_single_device_poisson3d():
     """The full FMG program sharded over an 8-device mesh (x-plane
     decomposition, agglomerated coarse levels) must match the single-device
     result to float32 tolerance."""
-    solver = _solve(Poisson(3), 17, pad0=8)
+    solver = _solve(Poisson(3), 33, pad0=8)
     step = jax.jit(solver.program.solve_step)
 
     single = step(step(solver.fresh_levels()))
 
     mesh = pmesh.make_mesh(8)
     levels = pmesh.shard_levels(mesh, solver.fresh_levels(), solver.geoms)
+    # finest level really is distributed (33 >= min_shardable_extent(8)=24;
+    # a replicated array also "spans" 8 devices, so check the spec itself)
+    assert not levels[0].v.sharding.is_fully_replicated
     out = step(step(levels))
     np.testing.assert_allclose(
         np.asarray(out[0].v),
@@ -85,8 +88,8 @@ def test_sharded_solve_matches_single_device_poisson3d():
         rtol=2e-5,
         atol=2e-6,
     )
-    # finest level really was distributed
-    assert len(out[0].v.sharding.device_set) == 8
+    # ... and the solve step preserved the distribution
+    assert not out[0].v.sharding.is_fully_replicated
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

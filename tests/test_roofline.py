@@ -112,6 +112,49 @@ def test_traffic_model_f32_large_level_uses_timeskew_figure():
     assert t.bytes_per_sweep < 4 * stored  # far below the slab figure
 
 
+def test_traffic_model_mirrors_timeskew_engagement_gates():
+    """plan_relax only engages time-skew when the half-plane has >=16384
+    points; a 129^3 f32 wrap level (8192-point half-planes) runs the
+    trapezoid slab, so its traffic figure must be the slab one (~14-24
+    B/point/sweep), not the time-skew ~1.25 B/point/sweep.  Problems
+    without split_update (HJB/varcoef) never get color-split figures."""
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 2, 16, 16, coarsest="exact"),
+        backend="jnp",
+    )
+    s129 = MultigridSolver(Poisson3D(), 129, cfg)
+    t = roofline.relax_traffic(s129.geoms[0], 16)
+    stored = t.stored_points
+    assert t.bytes_per_sweep > 10 * stored  # slab figure, not time-skew
+
+    # a 257^3-class level DOES time-skew — but not without split_caps
+    s257 = MultigridSolver(Poisson3D(), 257, cfg)
+    t_split = roofline.relax_traffic(s257.geoms[0], 16)
+    t_nosplit = roofline.relax_traffic(
+        s257.geoms[0], 16, split_caps=False
+    )
+    assert t_split.bytes_per_sweep < 2 * t_split.stored_points
+    assert t_nosplit.bytes_per_sweep > 10 * t_nosplit.stored_points
+
+    # 2D: without split_update2d the dense-slab figure applies (~4x the
+    # split figure at SPLIT2D_T=16)
+    from pde_multigrid_tpu import Lyapunov2D
+
+    cfg2 = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 2, 2),
+        backend="jnp",
+        # TPU-style tile padding (the split-2D kernel's real geometry)
+        pad_sublane_to=8,
+        pad_last_to=128,
+    )
+    s2d = MultigridSolver(Lyapunov2D(), 1025, cfg2)
+    g = s2d.geoms[0]
+    t2_split = roofline.relax_traffic(g, 16)
+    t2_dense = roofline.relax_traffic(g, 16, split_caps=False)
+    assert not t2_split.resident
+    assert t2_dense.bytes_per_sweep > 3 * t2_split.bytes_per_sweep
+
+
 def test_vpu_bound_is_finite_and_dimension_aware():
     b3 = roofline.vpu_bound_updates_per_s(3)
     b2 = roofline.vpu_bound_updates_per_s(2)
