@@ -24,18 +24,52 @@ import pytest
 
 from pde_multigrid_tpu import (
     CycleConfig,
+    Lyapunov2D,
     MultigridSolver,
+    Ode1D,
     Poisson3D,
     SolverConfig,
 )
 from pde_multigrid_tpu.grid import to_logical
 
 REF = "/root/reference/NOCUDA_TESI/POISSON_3D(TESI)"
+REF_1D = "/root/reference/NOCUDA_TESI/EQUAZIONE 1D"
+REF_2D = "/root/reference/NOCUDA_TESI/PDE Lyapunov 2D"
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(REF) or shutil.which("g++") is None,
     reason="reference sources or g++ unavailable",
 )
+
+
+def _build_and_run(src_dir, tmp, main_unit, units, edits):
+    """Compile a reference CPU app (its own CompileAndLink recipe: g++ -c
+    per unit + link) with `edits` applied to the driver, run it, and
+    return the log/ dir."""
+    for f in os.listdir(src_dir):
+        if f.endswith((".cpp", ".h")):
+            shutil.copy(os.path.join(src_dir, f), tmp)
+    src = os.path.join(tmp, main_unit)
+    code = open(src).read()
+    for old, new in edits:
+        assert old in code, f"driver edit target missing: {old!r}"
+        code = code.replace(old, new)
+    open(src, "w").write(code)
+    for unit in units:
+        subprocess.run(
+            ["g++", "-O2", "-c", unit], cwd=tmp, check=True,
+            capture_output=True,
+        )
+    objs = [u.replace(".cpp", ".o") for u in units]
+    subprocess.run(
+        ["g++", *objs, "-o", "app"], cwd=tmp, check=True,
+        capture_output=True,
+    )
+    os.makedirs(os.path.join(tmp, "log"), exist_ok=True)
+    subprocess.run(
+        ["./app"], cwd=tmp, check=True, capture_output=True, timeout=600
+    )
+    return os.path.join(tmp, "log")
 
 N = 17
 NU_REF = 3000  # the reference needs its huge sweep counts to converge
@@ -101,3 +135,107 @@ def test_pointwise_parity_with_reference_binary(reference_solution):
     d = np.abs(ours - reference_solution)
     assert d.max() < 5e-5
     assert d.mean() < 1e-5
+
+
+# -- 1D ODE app (EQUAZIONE 1D) ---------------------------------------------
+
+N1D = 257
+NU_REF_1D = 1000  # info propagates EAST->WEST 2 points/red-black sweep
+
+
+@pytest.fixture(scope="module")
+def reference_solution_1d(tmp_path_factory):
+    """Reference Poisson1DSolver at N=257 (Poisson1DSolver.cpp:5-40 with
+    the grid size reduced and PrintDiff enabled)."""
+    d = str(tmp_path_factory.mktemp("refbuild1d"))
+    log = _build_and_run(
+        REF_1D,
+        d,
+        "Poisson1DSolver.cpp",
+        ["Grid1D.cpp", "MultiGrid1D.cpp", "Poisson1DSolver.cpp"],
+        [
+            ("int finestGridSize = 8193;", f"int finestGridSize = {N1D};"),
+            (f"int v1 = 1000;", f"int v1 = {NU_REF_1D};"),
+            (f"int v2 = 1000;", f"int v2 = {NU_REF_1D};"),
+            ("//multiGrid1D.PrintDiff();", "multiGrid1D.PrintDiff();"),
+        ],
+    )
+    # Grid1D::PrintDiffApproxReal: "xj: %f diff: %f", posX ascending
+    diffs = []
+    pat = re.compile(r"xj: (-?[\d.]+) diff: (-?[\d.]+)")
+    for line in open(os.path.join(log, "diff.txt")):
+        m = pat.match(line)
+        diffs.append(float(m.group(2)))
+    assert len(diffs) == N1D
+    x = np.linspace(0.0, 1.0, N1D)
+    real = (np.exp(x) + x - 3.0) / (1.0 + np.exp(-x))
+    return real + np.asarray(diffs)  # the reference's approx solution
+
+
+def test_pointwise_parity_with_reference_binary_1d(reference_solution_1d):
+    """Ours converges to the same fine-level relaxation fixed point with
+    corrected residual signs (SURVEY.md §2.7.4) and ~60x fewer sweeps."""
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 2, 16, 16), backend="jnp", max_cycles=4,
+        tol=0.0,
+    )
+    s = MultigridSolver(Ode1D(), N1D, cfg)
+    r = s.solve_to_tolerance()
+    ours = np.asarray(to_logical(r.v, s.geoms[0]))
+    d = np.abs(ours - reference_solution_1d)
+    # print quantization is 5e-7 (%f, 6 decimals); f32 rounding on top
+    assert d.max() < 5e-5
+    assert d.mean() < 1e-5
+
+
+# -- 2D Lyapunov app (PDE Lyapunov 2D) --------------------------------------
+
+N2D = 65
+NU_REF_2D = 500
+
+
+@pytest.fixture(scope="module")
+def reference_solution_2d(tmp_path_factory):
+    """Reference LyapunovSolver at N=65 on [0,1]^2 (LyapunovSolver.cpp:5-59
+    with the grid size reduced; PrintDiff is already enabled there)."""
+    d = str(tmp_path_factory.mktemp("refbuild2d"))
+    log = _build_and_run(
+        REF_2D,
+        d,
+        "LyapunovSolver.cpp",
+        ["Grid2D.cpp", "MultiGrid2D.cpp", "LyapunovSolver.cpp"],
+        [("int equalSize = 1025;", f"int equalSize = {N2D};")],
+    )
+    # Grid2D::PrintDiffApproxReal: "yi: %f xj: %f diff: %f",
+    # posY outer / posX inner -> array indexed [y][x]
+    vals = []
+    pat = re.compile(r"yi: (-?[\d.]+) xj: (-?[\d.]+) diff: (-?[\d.]+)")
+    for line in open(os.path.join(log, "diff.txt")):
+        m = pat.match(line)
+        vals.append(float(m.group(3)))
+    assert len(vals) == N2D * N2D
+    diff = np.asarray(vals).reshape(N2D, N2D)  # [y][x]
+    x = np.linspace(0.0, 1.0, N2D)
+    real = (
+        2.0 * x[None, :] ** 2
+        - 4.0 * x[None, :] * x[:, None]
+        + 2.0 * x[:, None] ** 2
+    )  # V(x, y) = 2x^2 - 4xy + 2y^2 indexed [y][x]
+    return real + diff
+
+
+def test_pointwise_parity_with_reference_binary_2d(reference_solution_2d):
+    """The 2D CPU app's relax/residual are mutually consistent (no CUDA
+    f-drop, SURVEY.md §2.7.2), so parity is a straight fixed-point match.
+    Our array is [x, y]; the reference logs [y][x] -> transpose.  A is
+    non-symmetric, so an axis mix-up would NOT cancel (K1 != K2)."""
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 2, 16, 16), backend="jnp", max_cycles=4,
+        tol=0.0,
+    )
+    s = MultigridSolver(Lyapunov2D(), N2D, cfg)
+    r = s.solve_to_tolerance()
+    ours = np.asarray(to_logical(r.v, s.geoms[0])).T  # -> [y][x]
+    d = np.abs(ours - reference_solution_2d)
+    assert d.max() < 1e-4
+    assert d.mean() < 2e-5
