@@ -58,16 +58,32 @@ def level_sharding(
     return NamedSharding(mesh, spec)
 
 
+def _put(arr, s: NamedSharding):
+    """Place `arr` (host-replicated logical value) with sharding `s`.
+
+    Multi-host (mesh spans processes, SURVEY.md §5 "multi-host via
+    jax.distributed"): every process holds the same logical array — init
+    is deterministic — and contributes its addressable shards via
+    make_array_from_callback; device_put would reject non-addressable
+    devices."""
+    if s.is_fully_addressable:
+        return jax.device_put(arr, s)
+    host = np.asarray(arr)
+    return jax.make_array_from_callback(
+        host.shape, s, lambda idx: host[idx]
+    )
+
+
 def shard_levels(mesh: Mesh, levels, geoms, halo: int = 1):
-    """Device_put each level with its sharding."""
+    """Place each level's arrays with its level sharding."""
     out = []
     for lvl, g in zip(levels, geoms):
         s = level_sharding(mesh, g, halo)
         out.append(
             Level(
-                v=jax.device_put(lvl.v, s),
-                f=jax.device_put(lvl.f, s),
-                aux={k: jax.device_put(a, s) for k, a in lvl.aux.items()},
+                v=_put(lvl.v, s),
+                f=_put(lvl.f, s),
+                aux={k: _put(a, s) for k, a in lvl.aux.items()},
             )
         )
     return tuple(out)
