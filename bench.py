@@ -48,6 +48,7 @@ PROBLEM_DEFAULTS = {
     "poisson3d": dict(n=129, nu=100),
     "ode1d": dict(n=8193, nu=1000),
     "lyapunov2d": dict(n=2049, nu=100),
+    "hjb2d": dict(n=513, nu=30),
 }
 
 
@@ -83,9 +84,13 @@ def count_smoother_updates(shapes, kind, nu0, nu1, nu2, mu=1, coarsest="relax"):
 
 def reference_updates_per_s(problem, make_shapes):
     """Reference GPU DOF-updates/s for `problem`, derived from its thesis
-    headline config and the chart-envelope wall-clock (BASELINE.md)."""
+    headline config and the chart-envelope wall-clock (BASELINE.md).
+    None for problems the reference never benchmarked (HJB: thesis p. 62
+    excluded it as inaccurate — no baseline exists)."""
     if problem == "poisson3d":
         return REFERENCE_GPU_UPDATES_PER_S
+    if problem not in REFERENCE_CONFIGS:
+        return None
     rc = REFERENCE_CONFIGS[problem]
     updates = count_smoother_updates(
         make_shapes(rc["n"]), "fmg", rc["nu0"], rc["nu"], rc["nu"]
@@ -97,7 +102,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--problem",
-        choices=("poisson3d", "ode1d", "lyapunov2d"),
+        choices=("poisson3d", "ode1d", "lyapunov2d", "hjb2d"),
         default="poisson3d",
     )
     ap.add_argument("--n", type=int, default=0, help="0 = per-problem default")
@@ -134,7 +139,18 @@ def main():
         "class sizes, where this environment's remote compiler hangs "
         "on fori around the step's pallas calls)",
     )
+    ap.add_argument(
+        "--matrix",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="after the headline line, emit one JSON line per problem "
+        "at its thesis-exact config (auto: on when invoked with no "
+        "arguments — the driver's mode)",
+    )
     args = ap.parse_args()
+    matrix = args.matrix == "on" or (
+        args.matrix == "auto" and len(sys.argv) == 1
+    )
     args.n = args.n or PROBLEM_DEFAULTS[args.problem]["n"]
     args.nu = args.nu or PROBLEM_DEFAULTS[args.problem]["nu"]
 
@@ -173,11 +189,41 @@ def main():
             file=sys.stderr,
         )
 
+    # headline line FIRST (the driver parses the first JSON line), then
+    # the thesis-exact matrix (VERDICT r2 #5): each row is best-effort —
+    # a tunnel outage on one config must not cost the headline record
+    print(json.dumps(measure(args)))
+    if matrix:
+        base = vars(args).copy()
+        for row in THESIS_MATRIX:
+            a = argparse.Namespace(**{**base, **row})
+            try:
+                print(json.dumps(measure(a, tag="thesis")))
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"[bench] matrix row {row} failed: "
+                    f"{str(e)[:200]}",
+                    file=sys.stderr,
+                )
+
+
+# thesis-exact headline configs (SURVEY.md §2.5 drivers; BASELINE.md):
+# reps sized so each row stays ~O(10 s) at the measured per-step times
+THESIS_MATRIX = [
+    dict(problem="poisson3d", n=129, nu=3000, nu0=2, reps=8),
+    dict(problem="poisson3d", n=257, nu=3000, nu0=2, reps=3),
+    dict(problem="lyapunov2d", n=4097, nu=500, nu0=2, reps=6),
+    dict(problem="ode1d", n=8193, nu=1000, nu0=2, reps=30),
+]
+
+
+def measure(args, tag=""):
     import jax
     import jax.numpy as jnp
 
     from pde_multigrid_tpu import (
         CycleConfig,
+        HJBMinTime,
         Lyapunov2D,
         MultigridSolver,
         Ode1D,
@@ -189,15 +235,25 @@ def main():
         "poisson3d": Poisson3D,
         "ode1d": Ode1D,
         "lyapunov2d": Lyapunov2D,
+        "hjb2d": HJBMinTime,
     }[args.problem]()
 
-    coarsest = "exact" if args.coarsest == "auto" else args.coarsest
+    nonlinear = getattr(problem, "nonlinear", False)
+    # nonlinear problems (HJB) need FAS + relaxed coarsest (the direct
+    # coarse solves are linear-only) and run f32 (defect correction is a
+    # linear-smoother identity)
+    coarsest = (
+        "relax"
+        if nonlinear
+        else ("exact" if args.coarsest == "auto" else args.coarsest)
+    )
     cfg = SolverConfig(
         cycle=CycleConfig(
-            "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest
+            "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest,
+            scheme="fas" if nonlinear else "cs",
         ),
         backend=args.backend,
-        precision=args.precision,
+        precision="f32" if nonlinear else args.precision,
         pad_last_to=args.pad_last,
     )
     solver = MultigridSolver(problem, args.n, cfg)
@@ -238,63 +294,97 @@ def main():
         z = jnp.zeros((), jnp.float32)
         return lax.fori_loop(0, n, body, (lv, z, z))
 
-    t0 = time.perf_counter()
-    compiled = None
-    chain_ok = args.chain_reps == "on" or (
-        args.chain_reps == "auto"
-        and not (problem.ndim == 3 and args.n >= 513)
+    # three chaining modes, best-of-2 timed passes each:
+    #   fori    — dynamic-trip in-jit chain (one dispatch for all reps)
+    #   unroll  — K statically unrolled steps per jit call: the remote
+    #             Mosaic compiler hangs on a fori wrapped AROUND the
+    #             step's pallas calls at 513^3-class geometry, but a
+    #             straight-line K-step program compiles (VERDICT r2 #6)
+    #   percall — one dispatch per step (last resort)
+    modes = ["fori", "unroll", "percall"]
+    if args.chain_reps == "off":
+        modes = ["percall"]
+    elif args.chain_reps == "auto" and problem.ndim == 3 and args.n >= 513:
+        modes = ["unroll", "percall"]
+
+    n_steps = args.reps
+    for mode in modes:
+        if levels is None:  # donated to a failed attempt — rebuild
+            levels = solver.fresh_levels()
+        t0 = time.perf_counter()
+        try:
+            if mode == "fori":
+                compiled = jax.jit(chained, donate_argnums=0).lower(
+                    levels, jnp.int32(1)
+                ).compile()
+                compile_s = time.perf_counter() - t0
+                # warmup: first execution includes lazy backend setup
+                # (levels is donated; thread the returned state through)
+                lv, l2, _ = compiled(levels, jnp.int32(1))
+                levels = None
+                float(l2)
+                chain_times = []
+                for _pass in range(2):
+                    t0 = time.perf_counter()
+                    lv, l2, err = compiled(lv, jnp.int32(args.reps))
+                    l2_final = float(l2)  # scalar fetch forces completion
+                    chain_times.append(time.perf_counter() - t0)
+                n_steps = args.reps
+            elif mode == "unroll":
+                K = max(1, min(args.reps, 4))
+                reps_eff = max(1, args.reps // K)
+
+                def chained_k(lv):
+                    out = bench_step(lv)
+                    for _ in range(K - 1):
+                        out = bench_step(out[0])
+                    return out
+
+                compiled = jax.jit(
+                    chained_k, donate_argnums=0
+                ).lower(levels).compile()
+                compile_s = time.perf_counter() - t0
+                lv, l2, _ = compiled(levels)
+                levels = None
+                float(l2)
+                chain_times = []
+                for _pass in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(reps_eff):
+                        lv, l2, err = compiled(lv)
+                    l2_final = float(l2)
+                    chain_times.append(time.perf_counter() - t0)
+                n_steps = reps_eff * K
+            else:
+                compiled = step.lower(levels).compile()
+                compile_s = time.perf_counter() - t0
+                lv, l2, _ = compiled(levels)
+                levels = None
+                float(l2)
+                chain_times = []
+                for _pass in range(2):
+                    t0 = time.perf_counter()
+                    for _ in range(args.reps):
+                        lv, l2, err = compiled(lv)
+                    l2_final = float(l2)
+                    chain_times.append(time.perf_counter() - t0)
+                n_steps = args.reps
+            break
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"[bench] {mode}-chain path failed ({str(e)[:120]}); "
+                "trying the next mode",
+                file=sys.stderr,
+            )
+            levels = None
+    else:
+        raise RuntimeError("all chaining modes failed")
+    elapsed = min(chain_times)
+    timing_tag = (
+        f"best-of-2 {mode} passes=({chain_times[0]:.3f}s,"
+        f"{chain_times[1]:.3f}s)"
     )
-    try:
-        if not chain_ok:
-            raise RuntimeError("chained reps disabled at this size")
-        compiled = jax.jit(chained, donate_argnums=0).lower(
-            levels, jnp.int32(1)
-        ).compile()
-        compile_s = time.perf_counter() - t0
-        # warmup: first execution includes lazy backend setup (levels is
-        # donated, so thread the returned state into the timed call)
-        levels, l2, _ = compiled(levels, jnp.int32(1))
-        float(l2)
-        t0 = time.perf_counter()
-        lv, l2, err = compiled(levels, jnp.int32(args.reps))
-        del levels
-        l2_final = float(l2)  # 4-byte fetch forces chain completion
-        elapsed = time.perf_counter() - t0
-        # best-of-2: the shared TPU pool's window speed varies between
-        # moments; a second timed chain defends the one-shot record
-        t0 = time.perf_counter()
-        lv, l2, err = compiled(lv, jnp.int32(args.reps))
-        l2_final = float(l2)
-        chain_times = (elapsed, time.perf_counter() - t0)
-        elapsed = min(chain_times)
-        timing_tag = (
-            f"best-of-2 chains=({chain_times[0]:.3f}s,"
-            f"{chain_times[1]:.3f}s)"
-        )
-    except Exception as e:
-        print(f"[bench] chained-reps path failed ({str(e)[:120]}); "
-              "falling back to per-call dispatch", file=sys.stderr)
-        # levels may have been donated to the failed call — rebuild
-        levels = solver.fresh_levels()
-        t0 = time.perf_counter()
-        compiled = step.lower(levels).compile()
-        compile_s = time.perf_counter() - t0
-        levels, l2, _ = compiled(levels)
-        float(l2)
-        lv = levels
-        chain_times = []
-        for _pass in range(2):  # best-of-2, same policy as the chained path
-            t0 = time.perf_counter()
-            for _ in range(args.reps):
-                lv, l2, err = compiled(lv)
-            l2_final = float(l2)
-            chain_times.append(time.perf_counter() - t0)
-        elapsed = min(chain_times)
-        timing_tag = (
-            f"best-of-2 passes=({chain_times[0]:.3f}s,"
-            f"{chain_times[1]:.3f}s) per-call-dispatch"
-        )
-    per_step = elapsed / args.reps
+    per_step = elapsed / n_steps
 
     err_linf, res_l2 = float(err), l2_final
 
@@ -318,16 +408,16 @@ def main():
         return out
 
     ref_ups = reference_updates_per_s(args.problem, ref_shapes)
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.problem}_fmg_dof_updates_per_s_per_chip",
-                "value": round(ups, 1),
-                "unit": "DOF-updates/s",
-                "vs_baseline": round(ups / ref_ups, 3),
-            }
-        )
-    )
+    name = args.problem + (f"_{tag}_n{args.n}" if tag else "")
+    record = {
+        "metric": f"{name}_fmg_dof_updates_per_s_per_chip",
+        "value": round(ups, 1),
+        "unit": "DOF-updates/s",
+        # null for problems the reference never benchmarked (HJB)
+        "vs_baseline": (
+            round(ups / ref_ups, 3) if ref_ups is not None else None
+        ),
+    }
     ndim = problem.ndim
     print(
         f"[bench] {args.problem} n={args.n}^{ndim} fmg(nu0={c.nu0},nu={c.nu1}) backend={args.backend} "
@@ -367,10 +457,18 @@ def main():
     # (SURVEY.md §2.5), so their error floor is O(h), not O(h^2).
     lo, hi = problem.domain[0]
     h = (hi - lo) / (args.n - 1)
-    tol = 50 * h * h if args.problem == "poisson3d" else 10 * h
+    if args.problem == "poisson3d":
+        tol = 50 * h * h  # second-order central differences
+    elif args.problem == "hjb2d":
+        # monotone first-order scheme on a solution with sqrt-type kinks
+        # carries O(sqrt(h)) error near the switching curve (models/hjb.py)
+        tol = 4.0 * h ** 0.5
+    else:
+        tol = 10 * h  # reference one-sided first-order schemes
     assert err_linf < max(tol, 5e-5), (
         f"benchmark run failed to converge: err={err_linf}"
     )
+    return record
 
 
 if __name__ == "__main__":

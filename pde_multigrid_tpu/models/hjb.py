@@ -209,3 +209,69 @@ class HJBMinTime(ProblemBase):
             jnp.where(grad2 < -eps, num_neg / den_neg, num_zero / den_zero),
         )
         return w
+
+    # -- Pallas kernel tier (ops/pallas/relax.py dense tiers) ---------------
+
+    def kernel_keep_mask(self, coords, geom: LevelGeometry, dtype):
+        """Mirror init_level's pinned-ball mask exclusion: the kernel's
+        in-register masks must never update the pinned target points."""
+        x1, x2 = coords
+        r0 = self.pin_radius_cells * max(geom.spacing)
+        r2 = jnp.asarray(max(r0, 1e-12) ** 2, dtype)
+        return (x1 * x1 + x2 * x2 > r2).astype(dtype)
+
+    def kernel_precompute(self, coords, geom: LevelGeometry, dtype):
+        x1, x2 = coords
+        h1, h2 = geom.spacing
+        if self.scheme == "tesi":
+            # thesis eq. 3.3.17 branch denominators as reciprocals
+            return {
+                "x2": x2.astype(dtype),
+                "inv_pos": (1.0 / (h1 * h2 + h2 * x2 - h1)).astype(dtype),
+                "inv_neg": (1.0 / (h1 * h2 + h2 * x2 + h1)).astype(dtype),
+                "inv_zero": (1.0 / (h1 + x2)).astype(dtype),
+            }
+        c1 = (jnp.abs(x2) / h1).astype(dtype)
+        c2 = 1.0 / h2
+        return {
+            "c1": c1,
+            # upwind side select as a 0/1 blend field (x2 > 0 -> east)
+            "s1": (x2 > 0).astype(dtype),
+            "inv_in": (1.0 / (1.0 + c1)).astype(dtype),
+            "inv_act": (1.0 / (1.0 + c1 + c2)).astype(dtype),
+        }
+
+    def kernel_update(self, v, f, pre, geom: LevelGeometry):
+        # spatial axes are the LAST geom.ndim axes of v inside kernels
+        ax1 = v.ndim - 2
+        ax2 = v.ndim - 1
+        e = self.shift(v, ax1, +1)
+        if self.scheme == "tesi":
+            h1 = jnp.asarray(geom.spacing[0], v.dtype)
+            h2 = jnp.asarray(geom.spacing[1], v.dtype)
+            x2 = pre["x2"]
+            s = self.shift(v, ax2, +1)
+            grad2 = (s - v) / h2
+            num_pos = f * h1 * h2 + e * h2 * x2 - h1 * s
+            num_neg = f * h1 * h2 + e * h2 * x2 + h1 * s
+            num_zero = f * h1 + e * x2
+            eps = jnp.asarray(1e-12, v.dtype)
+            return jnp.where(
+                grad2 > eps,
+                num_pos * pre["inv_pos"],
+                jnp.where(
+                    grad2 < -eps,
+                    num_neg * pre["inv_neg"],
+                    num_zero * pre["inv_zero"],
+                ),
+            )
+        w = self.shift(v, ax1, -1)
+        s1 = pre["s1"]
+        nb1 = s1 * e + (1.0 - s1) * w
+        m2 = jnp.minimum(self.shift(v, ax2, +1), self.shift(v, ax2, -1))
+        c1 = pre["c1"]
+        c2 = jnp.asarray(1.0 / geom.spacing[1], v.dtype)
+        base = f + c1 * nb1
+        w_in = base * pre["inv_in"]
+        w_act = (base + c2 * m2) * pre["inv_act"]
+        return jnp.where(w_in <= m2, w_in, w_act)

@@ -63,10 +63,10 @@ def tile_padded_bytes(shape: Sequence[int], itemsize: int = 4) -> int:
     return out
 
 
-def _coords_pre(problem, geom: LevelGeometry, shape, row0, dtype):
-    """Problem coefficient precompute for a local array of `shape` whose
-    axis-0 rows start at global row `row0`.  For constant-coefficient
-    problems the (unused) coordinate arrays are dead-code-eliminated."""
+def _local_coords(geom: LevelGeometry, shape, row0, dtype):
+    """In-register physical coordinates for a local array of `shape`
+    whose axis-0 rows start at global row `row0` (clipped to the
+    domain so halo/padding rows stay finite)."""
     nd = len(shape)
     coords = []
     for d in range(nd):
@@ -78,7 +78,15 @@ def _coords_pre(problem, geom: LevelGeometry, shape, row0, dtype):
             dtype
         ) * jnp.asarray(geom.spacing[d], dtype)
         coords.append(jnp.clip(x, min(lo, hi), max(lo, hi)))
-    return problem.kernel_precompute(tuple(coords), geom, dtype)
+    return tuple(coords)
+
+
+def _coords_pre(problem, geom: LevelGeometry, shape, row0, dtype):
+    """Problem coefficient precompute for a local array of `shape` whose
+    axis-0 rows start at global row `row0`.  For constant-coefficient
+    problems the (unused) coordinate arrays are dead-code-eliminated."""
+    coords = _local_coords(geom, shape, row0, dtype)
+    return problem.kernel_precompute(coords, geom, dtype)
 
 
 def _coords_and_masks(problem, geom: LevelGeometry, shape, row0, dtype):
@@ -106,6 +114,14 @@ def _coords_and_masks(problem, geom: LevelGeometry, shape, row0, dtype):
     par = sum(gidx) % 2
     m_red = ((par == 0) & interior).astype(dtype)
     m_black = ((par == 1) & interior).astype(dtype)
+    # optional problem hook: extra never-update points beyond the
+    # geometric boundary (e.g. HJB's pinned target ball, models/hjb.py
+    # init_level) — must mirror the aux-mask adjustment exactly
+    keep = getattr(problem, "kernel_keep_mask", None)
+    if keep is not None:
+        k = keep(tuple(coords), geom, dtype)
+        m_red = m_red * k
+        m_black = m_black * k
     pre = problem.kernel_precompute(tuple(coords), geom, dtype)
     return pre, m_red, m_black
 
@@ -449,6 +465,16 @@ def make_slab_relax(
             rv = ((g >= 1) & (g <= geom.shape[0] - 2)).astype(dtype)
             m_red = mred_ref[:] * rv
             m_black = mblack_ref[:] * rv
+            # problem keep-mask hook (HJB pinned target ball): extra
+            # never-update points beyond the geometric boundary — must be
+            # applied per block (it depends on axis-0 coordinates too)
+            keep_fn = getattr(problem, "kernel_keep_mask", None)
+            if keep_fn is not None:
+                k = keep_fn(
+                    _local_coords(geom, lshape, s, dtype), geom, dtype
+                )
+                m_red = m_red * k
+                m_black = m_black * k
             pre = _coords_pre(problem, geom, lshape, s, dtype)
             v_new = _sweeps(
                 problem,
@@ -2087,6 +2113,15 @@ def make_split_color_slab_2d(
     # jnp.where ~15-25% SLOWER than the f32 mask blend on the v5e VPU
     # (28.6-32.4 vs 36.3-36.6 us/sweep, bitwise-identical results)
     use_sel = os.environ.get("PDE_MG_RBGS_SELECT", "0") == "1"
+    # mask-fold: write m*upd + c with c = (1-m)*v0 hoisted once per block
+    # (masked points never change across a leg, so (1-m)*v is leg-
+    # invariant).  Drops the old-value read and one VPU op per color per
+    # sweep vs the blend; numerics == the select form (m*upd + 0 = upd
+    # bitwise at interior points).  VMEM-resident body probe
+    # (scripts/probe_split2d_body.py): 3.0 -> 3.6e11 updates/s.
+    use_fold = (
+        os.environ.get("PDE_MG_SPLIT2D_FOLD", "1") == "1" and not use_sel
+    )
     halo = _round_up(2 * T, 8)
     halo_lo = halo if -1 in x_offs else 0
     halo_hi = halo if +1 in x_offs else 0
@@ -2188,6 +2223,7 @@ def make_split_color_slab_2d(
             m_b = (y_b >= 1) & (y_b <= ny - 2) & okx
             if not use_sel:
                 m_r, m_b = m_r.astype(dtype), m_b.astype(dtype)
+            one = jnp.asarray(1, dtype)
             # per-color coefficient fields at the color's own coords
             lo0, hi0 = geom.domain[0]
             lo1, hi1 = geom.domain[1]
@@ -2214,6 +2250,9 @@ def make_split_color_slab_2d(
             )
             r, b = rvb[slot], bvb[slot]
             fr, fb = (rfb[slot], bfb[slot]) if with_f else (None, None)
+            if use_fold:
+                c_r = (one - m_r) * r  # bitwise r at masked points
+                c_b = (one - m_b) * b
 
             def one_sweep(_, rb):
                 r, b = rb
@@ -2222,15 +2261,21 @@ def make_split_color_slab_2d(
                 )
                 # select, not blend: bitwise the reference's in-place
                 # write at masked-on points and 2 fewer VPU ops
-                r = jnp.where(m_r, upd, r) if use_sel else (
-                    r + m_r * (upd - r)
-                )
+                if use_fold:
+                    r = m_r * upd + c_r
+                elif use_sel:
+                    r = jnp.where(m_r, upd, r)
+                else:
+                    r = r + m_r * (upd - r)
                 upd = problem.split_update2d(
                     nbr_factory(r, jnp.logical_not(q1)), fb, pre_b, geom
                 )
-                b = jnp.where(m_b, upd, b) if use_sel else (
-                    b + m_b * (upd - b)
-                )
+                if use_fold:
+                    b = m_b * upd + c_b
+                elif use_sel:
+                    b = jnp.where(m_b, upd, b)
+                else:
+                    b = b + m_b * (upd - b)
                 return r, b
 
             if nsweeps_here == 1:
@@ -2645,11 +2690,17 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # a problem participates iff it overrides kernel_update
     if type(problem).kernel_update is ProblemBase.kernel_update:
         return None
+    # problems with a keep-mask hook (extra never-update points, e.g.
+    # HJB's pinned ball) are served ONLY by the dense tiers that honor it
+    # (_coords_and_masks / make_slab_relax); the color-split and merged
+    # tiers build their masks inline and would update pinned points
+    has_keep = hasattr(problem, "kernel_keep_mask")
     shape = geom.padded_shape
     # merged-layout resident kernel: wrap-mode 3D with sub-lane Z — views
     # the array as (X, Y*Z/128, 128), zero tile waste, whole level in VMEM
     if (
-        geom.wrap
+        not has_keep
+        and geom.wrap
         and len(shape) == 3
         and shape[2] < 128
         and (shape[1] * shape[2]) % 128 == 0
@@ -2684,6 +2735,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     if resident_cost <= RESIDENT_VMEM_BUDGET:
         if (
             len(shape) == 1
+            and not has_keep
             and not geom.wrap
             and shape[0] % 2 == 0
             and hasattr(problem, "split_update1d")
@@ -2703,7 +2755,8 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # us/sweep, numerically identical).  Preferred for every slab-tier
     # wrap level whose ring set fits VMEM.
     if (
-        os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
+        not has_keep
+        and os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
         and geom.wrap
         and len(shape) == 3
         and hasattr(problem, "split_update")
@@ -2755,7 +2808,8 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # arithmetic of the dense masked slab.  Cost model: 8 double-buffered
     # half-plane slabs + 2 masks + ~4 roll temps, each ~loc rows.
     if (
-        geom.wrap
+        not has_keep
+        and geom.wrap
         and len(shape) == 3
         and hasattr(problem, "split_update")
         and shape[1] % 2 == 0
@@ -2782,7 +2836,8 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # ~(loc_x, loc_j, Z).  Prefer larger Bx (x halo amortization), then
     # larger Bj (j halo is a fixed 8 rows per side).
     if (
-        geom.wrap
+        not has_keep
+        and geom.wrap
         and len(shape) == 3
         and hasattr(problem, "split_update")
         and shape[1] % 16 == 0
@@ -2817,6 +2872,7 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # dense update is so cheap that the discarded half DOMINATES
     if (
         len(shape) == 2
+        and not has_keep
         and not geom.wrap
         and hasattr(problem, "split_update2d")
         and hasattr(problem, "kernel_precompute")

@@ -24,13 +24,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-EXT = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+EXT = int(sys.argv[1]) if len(sys.argv) > 1 else 128
 Y2P = int(sys.argv[2]) if len(sys.argv) > 2 else 2048
-K = 64  # sweeps per kernel call
-REPS = 8
+# two-point fit: slope between K1 and K2 sweeps/call cancels the ~25 ms
+# tunnel dispatch latency (CLAUDE.md measurement protocol)
+K1, K2 = 4096, 16384
+REPS = 6
 
 
-def make(variant):
+def make(variant, K):
     def kernel(rv, bv, aer, asr, cr, aeb, asb, cb, ro, bo):
         q1 = (lax.broadcasted_iota(jnp.int32, (EXT, 1), 0) % 2) == 1
 
@@ -96,22 +98,29 @@ def main():
     variants = ["base", "fold", "noselect", "noroll", "floor"]
     fns = {}
     for v in variants:
-        f = jax.jit(make(v))
-        out = f(*arrs)
-        jax.block_until_ready(out)
-        float(out[0][1, 1])
-        fns[v] = f
+        for K in (K1, K2):
+            f = jax.jit(make(v, K))
+            out = f(*arrs)
+            jax.block_until_ready(out)
+            float(out[0][1, 1])
+            fns[v, K] = f
     points = EXT * Y2P * 2  # both colors
+
+    def timed(v, K):
+        t0 = time.perf_counter()
+        out = fns[v, K](*arrs)
+        float(out[0][1, 1])
+        return time.perf_counter() - t0
+
     for round_i in range(REPS):
         line = []
         for v in variants:
-            t0 = time.perf_counter()
-            out = fns[v](*arrs)
-            float(out[0][1, 1])
-            dt = time.perf_counter() - t0
-            per_sweep_us = dt / K * 1e6
-            ups = points / (dt / K)
-            line.append(f"{v}: {per_sweep_us:7.1f}us {ups/1e11:.2f}e11")
+            t1, t2 = timed(v, K1), timed(v, K2)
+            per_sweep = (t2 - t1) / (K2 - K1)
+            ups = points / per_sweep
+            line.append(
+                f"{v}: {per_sweep*1e6:6.2f}us {ups/1e11:.2f}e11"
+            )
         print(" | ".join(line), flush=True)
 
 

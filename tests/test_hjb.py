@@ -6,6 +6,7 @@ framework's FAS + monotone-upwind combination actually solves it — and
 that the thesis' own forward-difference scheme fails as reported.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -145,3 +146,83 @@ def test_fmg_preserves_pinned_anchor_cells():
     np.testing.assert_allclose(
         got[pinned], exact[pinned], rtol=0, atol=1e-6
     )
+
+
+def test_hjb_kernel_tier_matches_jnp():
+    """HJB dense Pallas kernels (resident tier via kernel_update +
+    kernel_keep_mask) == the jnp tier, INCLUDING the pinned target ball
+    (the keep-mask hook must mirror init_level's mask exclusion)."""
+    import numpy as np
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.ops import stencil
+    from pde_multigrid_tpu.ops.pallas import relax as R
+
+    rng = np.random.default_rng(7)
+    for scheme, tier in (
+        ("upwind", "resident"),
+        ("tesi", "resident"),
+        # the slab tier computes its own hoisted masks: it must apply the
+        # keep-mask hook too (regression: pinned ball was updated there,
+        # wrecking the 513^2 bench solve)
+        ("upwind", "slab"),
+    ):
+        prob = HJBMinTime(scheme=scheme)
+        h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
+        lvl, geom = h.levels[0], h.geoms[0]
+        if tier == "slab":
+            fn = R.make_slab_relax(
+                prob, geom, jnp.float32, 8, 4, interpret=True
+            )
+        else:
+            fn = R.make_resident_relax(
+                prob, geom, jnp.float32, interpret=True
+            )
+        v0 = lvl.v + 0.01 * jnp.asarray(
+            rng.standard_normal(geom.padded_shape), jnp.float32
+        ) * lvl.aux["m_int"]
+        f = jnp.asarray(
+            rng.standard_normal(geom.padded_shape) * 0.1 + 1.0,
+            jnp.float32,
+        )
+        for ns in (1, 4):
+            got = np.asarray(fn(v0, f, ns))
+            want = np.asarray(
+                stencil.relax_rbgs(
+                    lambda vv, ff: prob.relax_update(vv, ff, geom, lvl.aux),
+                    v0, f, lvl.aux["m_red"], lvl.aux["m_black"], ns,
+                )
+            )
+            np.testing.assert_allclose(
+                got, want, rtol=3e-5, atol=3e-6,
+                err_msg=f"{scheme} ns={ns}",
+            )
+            if scheme == "upwind":
+                # pinned ball untouched (same values as the input); the
+                # tesi scheme's sign-flipping denominators poison masked
+                # points with 0*inf NaNs in BOTH tiers (its documented
+                # failure mode), so only the production scheme checks
+                pin = np.asarray(lvl.aux["m_log"] - lvl.aux["m_int"]) > 0
+                sl = pin[: got.shape[0], : got.shape[1]]
+                np.testing.assert_array_equal(
+                    got[sl], np.asarray(v0)[sl]
+                )
+
+
+def test_hjb_full_solve_pallas_backend():
+    """Full FAS FMG solve on the forced-Pallas backend == jnp backend."""
+    import numpy as np
+
+    res = {}
+    for backend in ("jnp", "pallas"):
+        cfg = SolverConfig(
+            cycle=CycleConfig("fmg", 1, 8, 8, scheme="fas"),
+            backend=backend,
+            max_cycles=2,
+            tol=0.0,
+            pad_last_to=128 if backend == "pallas" else 1,
+            pad_sublane_to=8 if backend == "pallas" else 1,
+        )
+        r = MultigridSolver(HJBMinTime(), 33, cfg).solve_to_tolerance()
+        assert not r.diverged
+        res[backend] = r
+    assert abs(res["pallas"].error_linf - res["jnp"].error_linf) < 1e-4
