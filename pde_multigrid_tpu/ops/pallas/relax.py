@@ -949,10 +949,14 @@ def _pallas_merge(X: int, Y: int, Z: int, dtype, interpret=False):
     ), u
 
 
-def make_color_converters(geom: LevelGeometry, dtype, interpret=False):
+def make_color_converters(
+    geom: LevelGeometry, dtype, interpret=False, shape=None
+):
     """(split, merge) pair for one level: pallas tier when lane-aligned,
-    XLA fallback otherwise."""
-    X, Y, Z = geom.padded_shape
+    XLA fallback otherwise.  `shape` overrides the level's padded shape
+    (shard-local slabs, parallel/halo.py): color parity stays global as
+    long as the local axis-0 extent is even."""
+    X, Y, Z = shape if shape is not None else geom.padded_shape
     if Z % 128 == 0 and (Y // 2) % 8 == 0:
         sc, pt = _pallas_split(X, Y, Z, dtype, interpret)
         mc, u = _pallas_merge(X, Y, Z, dtype, interpret)
@@ -1742,6 +1746,270 @@ def make_split_timeskew_relax(
         return cmerge(r, b)
 
     return relax
+
+
+def make_split_timeskew_relax_shard(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    sweeps_per_call: int,
+    x_loc: int,
+    interpret=False,
+):
+    """Per-shard time-skewed wavefront chunk for the sharded smoother
+    (SCALING.md "time-skew as the per-shard engine"; parallel/halo.py).
+
+    Identical schedule and per-point arithmetic to
+    make_split_timeskew_relax, windowed onto one shard's extended slab:
+    the kernel ingests black + RHS halves for XE = x_loc + 4T planes
+    (the shard's x_loc owned planes plus 2T halo planes per side,
+    supplied by the ppermute exchange where the single-chip kernel uses
+    the wrap-zero plane) and emits exact red/black for the owned planes
+    after T sweeps.  Since red is fully replaced before first use, ONLY
+    the black halo needs exchanging — half the ICI volume of a dense
+    halo.  The trapezoid argument gives exactness: edge corruption
+    advances 2 planes per red+black sweep, so after T sweeps the wrong
+    region reaches ext plane 2T-1 from below and XE-2T+1 from above —
+    the owned window [2T, 2T + x_loc) is exact with one plane to spare.
+
+    The global plane index enters as a scalar (SMEM) operand g0 =
+    global index of ext plane 0: the x-validity gate (global plane 0 is
+    the stored zero boundary; reads past the global top resolve to
+    zero) is a per-plane scalar, and the checkerboard parity needs no
+    offset because x_loc and 2T are even, so g0 is always even.
+
+    HBM traffic per T-sweep chunk: read black+fr+fb ext, write r+b
+    owned ~ 2.5 arrays -> ~10 B/point (vs the masked-block engine's
+    ~3.5 arrays per SWEEP) — the single-chip time-skew economics,
+    per shard."""
+    assert geom.wrap and geom.ndim == 3
+    XG, Y, Z = geom.padded_shape
+    Y2 = Y // 2
+    cdt = jnp.dtype(dtype)
+    assert interpret or (Z % 128 == 0 and Y2 % 8 == 0)
+    assert x_loc % 2 == 0  # keeps global parity == ext parity
+    assert geom.shape[0] - 2 == XG - 1  # wrap: only plane 0 non-interior
+    T = sweeps_per_call
+    XE = x_loc + 4 * T
+    plane = (Y2, Z)
+    upd_fn = problem.split_update
+    if os.environ.get("PDE_MG_TIMESKEW_FOLDED", "0") == "1":
+        upd_fn = getattr(problem, "split_update_folded", upd_fn)
+
+    def kernel(*refs):
+        FR = 2 * T + 2
+        (g0_ref, bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm) = refs[:6]
+        b0s = refs[6]
+        bss = refs[7 : 7 + T]
+        rss = refs[7 + T : 7 + 2 * T]
+        frs, fbs, in_sem, out_sem = refs[7 + 2 * T :]
+        g0 = g0_ref[0]
+
+        def in_dmas(x):
+            return [
+                pltpu.make_async_copy(
+                    bv_hbm.at[pl.ds(x, 1)],
+                    b0s.at[pl.ds(lax.rem(x, 4), 1)],
+                    in_sem.at[0],
+                ),
+                pltpu.make_async_copy(
+                    rf_hbm.at[pl.ds(x, 1)],
+                    frs.at[pl.ds(lax.rem(x, FR), 1)],
+                    in_sem.at[1],
+                ),
+                pltpu.make_async_copy(
+                    bf_hbm.at[pl.ds(x, 1)],
+                    fbs.at[pl.ds(lax.rem(x, FR), 1)],
+                    in_sem.at[2],
+                ),
+            ]
+
+        # pre-zero the v rings: ramp-time reads of not-yet-born planes
+        # land on deterministic zeros (the single-chip slot-timing
+        # argument carries over; those reads only feed the edge
+        # trapezoids outside the owned window)
+        zp = jnp.zeros((1,) + plane, dtype)
+        for k in range(4):
+            b0s[k : k + 1] = zp
+        for ring in (*bss, *rss):
+            for k in range(3):
+                ring[k : k + 1] = zp
+
+        jj = lax.broadcasted_iota(jnp.int32, (Y2, 1), 0)
+        iz = lax.broadcasted_iota(jnp.int32, (1, Z), 1)
+        okyz = (jj >= 1), (iz >= 1)
+        zero_c = jnp.zeros((), cdt)
+
+        for d in in_dmas(0):
+            d.start()
+
+        def read(ring, slot):
+            a = ring[slot]
+            return a.astype(cdt) if a.dtype != cdt else a
+
+        def update(x, src_ring, rhs_ring, red, q1, ok):
+            K = 4 if src_ring is b0s else 3
+            g = g0 + x
+            c0 = read(src_ring, lax.rem(x, K))
+            cm = read(src_ring, lax.rem(x - 1, K))
+            # +1 read gated at BOTH the global top (wrap zero) and the
+            # window top (ring garbage; that plane's result is halo-
+            # discarded anyway, the gate just keeps it finite)
+            cp = read(src_ring, lax.rem(x + 1, K)) * (
+                (g + 1 <= XG - 1) & (x + 1 <= XE - 1)
+            ).astype(cdt)
+            px = cm + cp
+            if red:
+                py = c0 + jnp.where(
+                    q1, jnp.roll(c0, -1, 0), jnp.roll(c0, 1, 0)
+                )
+            else:
+                py = c0 + jnp.where(
+                    q1, jnp.roll(c0, 1, 0), jnp.roll(c0, -1, 0)
+                )
+            pz = jnp.roll(c0, 1, 1) + jnp.roll(c0, -1, 1)
+            fh = read(rhs_ring, lax.rem(x, FR))
+            upd = upd_fn((px, py, pz), fh, geom)
+            # x-validity: global plane 0 is the stored zero boundary
+            # (first shard's owned window includes it — it must emit 0)
+            gv = ((g >= 1) & (g <= XG - 1)).astype(jnp.bool_)
+            out = jnp.where(ok & gv, upd, zero_c)
+            return out if cdt == jnp.dtype(dtype) else out.astype(dtype)
+
+        def step(t, carry):
+            @pl.when(t <= XE - 1)
+            def _():
+                for d in in_dmas(t):
+                    d.wait()
+
+            @pl.when(t + 1 <= XE - 1)
+            def _():
+                for d in in_dmas(t + 1):
+                    d.start()
+
+            # red planes of this step have ext parity (t+1), black
+            # parity t; g0 is even so ext parity == global parity
+            q1_r = ((t + 1 + iz) % 2) == 1
+            q1_b = ((t + iz) % 2) == 1
+            ok_r = (okyz[0] | q1_r) & okyz[1]
+            ok_b = (okyz[0] | ~q1_b) & okyz[1]
+
+            for s in range(1, T + 1):
+                xr = t - (2 * s - 1)
+                xb = t - 2 * s
+                src_r = b0s if s == 1 else bss[s - 2]
+
+                @pl.when((xr >= 1) & (xr <= XE - 1))
+                def _(s=s, xr=xr, src_r=src_r):
+                    if s == T:
+                        @pl.when(xr - 3 >= 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                rss[T - 1].at[pl.ds(lax.rem(xr, 3), 1)],
+                                ro_hbm.at[pl.ds(xr - 3, 1)],
+                                out_sem.at[0, lax.rem(xr - 3, 3)],
+                            ).wait()
+                    rss[s - 1][lax.rem(xr, 3)] = update(
+                        xr, src_r, frs, True, q1_r, ok_r
+                    )
+                    if s == T:
+                        pltpu.make_async_copy(
+                            rss[T - 1].at[pl.ds(lax.rem(xr, 3), 1)],
+                            ro_hbm.at[pl.ds(xr, 1)],
+                            out_sem.at[0, lax.rem(xr, 3)],
+                        ).start()
+
+                @pl.when((xb >= 1) & (xb <= XE - 1))
+                def _(s=s, xb=xb):
+                    if s == T:
+                        @pl.when(xb - 3 >= 1)
+                        def _():
+                            pltpu.make_async_copy(
+                                bss[T - 1].at[pl.ds(lax.rem(xb, 3), 1)],
+                                bo_hbm.at[pl.ds(xb - 3, 1)],
+                                out_sem.at[1, lax.rem(xb - 3, 3)],
+                            ).wait()
+                    bss[s - 1][lax.rem(xb, 3)] = update(
+                        xb, rss[s - 1], fbs, False, q1_b, ok_b
+                    )
+                    if s == T:
+                        pltpu.make_async_copy(
+                            bss[T - 1].at[pl.ds(lax.rem(xb, 3), 1)],
+                            bo_hbm.at[pl.ds(xb, 1)],
+                            out_sem.at[1, lax.rem(xb, 3)],
+                        ).start()
+
+            return carry
+
+        lax.fori_loop(0, XE + 2 * T, step, 0)
+
+        # drain the last 3 planes' out-DMAs per color
+        for dx in range(3):
+            x = XE - 1 - dx
+            if x < 1:
+                continue
+            pltpu.make_async_copy(
+                rss[T - 1].at[pl.ds(x % 3, 1)],
+                ro_hbm.at[pl.ds(x, 1)],
+                out_sem.at[0, x % 3],
+            ).wait()
+            pltpu.make_async_copy(
+                bss[T - 1].at[pl.ds(x % 3, 1)],
+                bo_hbm.at[pl.ds(x, 1)],
+                out_sem.at[1, x % 3],
+            ).wait()
+        # ext plane 0 is halo (discarded by the caller's owned slice)
+        # but pallas outputs must not carry uninitialized memory into
+        # donation-aliased buffers; write deterministic zeros
+        zp_out = jnp.zeros((1,) + plane, dtype)
+        b0s[0:1] = zp_out
+        cp0 = [
+            pltpu.make_async_copy(
+                b0s.at[pl.ds(0, 1)], ro_hbm.at[pl.ds(0, 1)], in_sem.at[0]
+            ),
+            pltpu.make_async_copy(
+                b0s.at[pl.ds(0, 1)], bo_hbm.at[pl.ds(0, 1)], in_sem.at[1]
+            ),
+        ]
+        for c in cp0:
+            c.start()
+        for c in cp0:
+            c.wait()
+
+    FR = 2 * T + 2
+    call = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((XE,) + plane, dtype),
+            jax.ShapeDtypeStruct((XE,) + plane, dtype),
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        scratch_shapes=[pltpu.VMEM((4,) + plane, dtype)]
+        + [pltpu.VMEM((3,) + plane, dtype) for _ in range(2 * T)]
+        + [
+            pltpu.VMEM((FR,) + plane, dtype),
+            pltpu.VMEM((FR,) + plane, dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+        interpret=interpret,
+    )
+
+    def chunk(b_ext, fr_ext, fb_ext, g0):
+        """(black, fr, fb) ext halves + traced global offset of ext
+        plane 0 -> (red, black) ext halves, exact on the owned window
+        [2T, 2T + x_loc)."""
+        return call(jnp.asarray(g0, jnp.int32).reshape(1), b_ext,
+                    fr_ext, fb_ext)
+
+    chunk.T = T
+    chunk.XE = XE
+    return chunk
 
 
 def make_split_timeskew_relax_jb(

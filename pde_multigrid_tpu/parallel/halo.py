@@ -89,6 +89,51 @@ def make_sharded_relax(
         x_loc >= 2 * halo
     )
 
+    # -- sharded time-skew engine (the flagship per-shard chunk) ----------
+    # 3D wrap + split_update levels run each T-sweep chunk as ONE
+    # wavefront kernel over the extended slab, ingesting the 2T-plane
+    # halos where the single-chip kernel uses the wrap-zero plane
+    # (SCALING.md "time-skew as the per-shard engine").  Only the BLACK
+    # halo is exchanged per chunk (red is fully replaced before first
+    # use) — half the ICI volume of a dense halo — and the HBM cost
+    # drops from the masked-block engine's ~3.5 arrays/sweep to ~10
+    # B/point per T-sweep chunk.  Serial exchange->chunk schedule (the
+    # wavefront consumes halo planes at the bottom ramp, so the overlap
+    # trick does not apply); correctness is the same trapezoid argument.
+    ts_chunks = None
+    if (
+        use_pallas is not False
+        and nd == 3
+        and geom.wrap
+        and hasattr(problem, "split_update")
+        and not hasattr(problem, "kernel_keep_mask")
+        and x_loc % 2 == 0
+        and os.environ.get("PDE_MG_SHARD_TIMESKEW", "1") == "1"
+    ):
+        from pde_multigrid_tpu.ops.pallas import dispatch as _pd
+        from pde_multigrid_tpu.ops.pallas import relax as _pr
+
+        P_half = _pr.tile_padded_bytes(
+            (1, geom.padded_shape[1] // 2, geom.padded_shape[2])
+        )
+        if (10 * T + 9) * P_half <= _pr.TIMESKEW_VMEM_BUDGET:
+            _interp = not _pd.is_tpu_backend()
+            _dt = jnp.dtype(dtype)
+
+            @functools.lru_cache(maxsize=None)
+            def _ts_chunk(t: int):
+                return _pr.make_split_timeskew_relax_shard(
+                    problem, geom, _dt, t, x_loc, interpret=_interp
+                )
+
+            ts_chunks = _ts_chunk
+            _csplit, _cmerge = _pr.make_color_converters(
+                geom,
+                _dt,
+                interpret=_interp,
+                shape=(x_loc,) + tuple(geom.padded_shape[1:]),
+            )
+
     # per-shard Pallas kernel for the T-sweep chunk (the multi-chip hot
     # path analogue of the single-chip resident kernel); under the
     # overlapped schedule it sweeps the halo-free local slab (the edge
@@ -96,8 +141,8 @@ def make_sharded_relax(
     ext_shape = (
         (x_loc,) if do_overlap else (x_loc + 2 * halo,)
     ) + tuple(geom.padded_shape[1:])
-    pallas_chunk = None
-    if use_pallas is not False and nd >= 2:
+    pallas_chunk = None  # masked-block fallback engine
+    if use_pallas is not False and nd >= 2 and ts_chunks is None:
         from pde_multigrid_tpu.models.base import ProblemBase
         from pde_multigrid_tpu.ops.pallas import dispatch as _pd
         from pde_multigrid_tpu.ops.pallas import relax as _pr
@@ -129,10 +174,11 @@ def make_sharded_relax(
                 interpret=not _pd.is_tpu_backend(),
             )
 
-    def _exchange(arr_loc):
-        """(from_left, from_right) 2T-row halos from ring neighbors."""
-        from_left = lax.ppermute(arr_loc[-halo:], SHARD_AXIS, fwd)
-        from_right = lax.ppermute(arr_loc[:halo], SHARD_AXIS, bwd)
+    def _exchange(arr_loc, h: int = 0):
+        """(from_left, from_right) h-row halos from ring neighbors."""
+        h = h or halo
+        from_left = lax.ppermute(arr_loc[-h:], SHARD_AXIS, fwd)
+        from_right = lax.ppermute(arr_loc[:h], SHARD_AXIS, bwd)
         return from_left, from_right
 
     def _sweeps(v_ext, f_ext, pre, m_red, m_black, t):
@@ -152,6 +198,50 @@ def make_sharded_relax(
     @functools.lru_cache(maxsize=None)
     def build(nsweeps: int):
         n_chunks, rem = divmod(nsweeps, T)
+
+        def local_relax_timeskew(v_loc, f_loc):
+            i = lax.axis_index(SHARD_AXIS)
+            r, b = _csplit(v_loc)
+            fr_h, fb_h = _csplit(f_loc)
+            h_f = 2 * T
+            fl, frr = _exchange(fr_h, h_f)
+            fr_ext = jnp.concatenate([fl, fr_h, frr], axis=0)
+            fl, frr = _exchange(fb_h, h_f)
+            fb_ext = jnp.concatenate([fl, fb_h, frr], axis=0)
+
+            def chunk(rb, t):
+                _, b = rb  # red is fully replaced; only black moves
+                hh = 2 * t
+                bl, br = _exchange(b, hh)
+                b_ext = jnp.concatenate([bl, b, br], axis=0)
+                off = h_f - hh  # rem-chunks use a narrower f window
+                xe = x_loc + 4 * t
+                fr_w = (
+                    lax.slice_in_dim(fr_ext, off, off + xe, axis=0)
+                    if off
+                    else fr_ext
+                )
+                fb_w = (
+                    lax.slice_in_dim(fb_ext, off, off + xe, axis=0)
+                    if off
+                    else fb_ext
+                )
+                r_e, b_e = ts_chunks(t)(
+                    b_ext, fr_w, fb_w, i * x_loc - hh
+                )
+                return (
+                    lax.slice_in_dim(r_e, hh, hh + x_loc, axis=0),
+                    lax.slice_in_dim(b_e, hh, hh + x_loc, axis=0),
+                )
+
+            rb = (r, b)
+            if n_chunks:
+                rb = lax.fori_loop(
+                    0, n_chunks, lambda _, rb: chunk(rb, T), rb
+                )
+            if rem:
+                rb = chunk(rb, rem)
+            return _cmerge(rb[0], rb[1])
 
         def local_relax_serial(v_loc, f_loc):
             i = lax.axis_index(SHARD_AXIS)
@@ -239,9 +329,12 @@ def make_sharded_relax(
                 v_loc = chunk(v_loc, rem)
             return v_loc
 
-        local_relax = (
-            local_relax_overlap if do_overlap else local_relax_serial
-        )
+        if ts_chunks is not None:
+            local_relax = local_relax_timeskew
+        else:
+            local_relax = (
+                local_relax_overlap if do_overlap else local_relax_serial
+            )
 
         return jax.shard_map(
             local_relax,

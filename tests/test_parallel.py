@@ -232,3 +232,73 @@ def test_sharded_exact_coarsest_converges():
     r = s.solve()
     h = 1.0 / 64
     assert r.error_linf < 50 * h * h
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize("T", [2, 4])
+def test_sharded_timeskew_bitwise_in_tier(T):
+    """The sharded time-skew engine (per-shard wavefront chunks with
+    2T-plane black halos ingested where the single-chip kernel uses the
+    wrap-zero plane, parallel/halo.py) must reproduce the single-chip
+    time-skew kernel BITWISE across the 8-device mesh, including
+    remainder chunks (SCALING.md 'time-skew as the per-shard engine')."""
+    import jax.numpy as jnp
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.ops.pallas import relax as R
+    from pde_multigrid_tpu.parallel import halo
+
+    prob = Poisson(3)
+    mesh = pmesh.make_mesh(8)
+    n = 33 if T == 2 else 65  # x_loc must host the 2T-plane halo
+    h = Hierarchy.build(prob, n, wrap=True)
+    lvl, geom = h.levels[0], h.geoms[0]
+    rng = np.random.default_rng(5)
+    v = (
+        jnp.asarray(rng.standard_normal(geom.padded_shape), jnp.float32)
+        * lvl.aux["m_int"]
+    )
+    f = jnp.asarray(rng.standard_normal(geom.padded_shape), jnp.float32)
+    single = R.make_split_timeskew_relax(
+        prob, geom, jnp.float32, sweeps_per_call=T, interpret=True
+    )
+    fn = halo.make_sharded_relax(
+        prob, geom, mesh, jnp.dtype("float32"), sweeps_per_exchange=T
+    )
+    s = pmesh.level_sharding(mesh, geom)
+    for ns in (T, 2 * T + 1):  # full chunks + a remainder chunk
+        got = np.asarray(
+            fn(jax.device_put(v, s), jax.device_put(f, s), ns)
+        )
+        want = np.asarray(single(v, f, ns))
+        np.testing.assert_array_equal(got, want, err_msg=f"T={T} ns={ns}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_timeskew_full_solve_matches_masked_block():
+    """Full sharded FMG solve: time-skew engine == masked-block fallback
+    (PDE_MG_SHARD_TIMESKEW=0) == close to the unsharded solver."""
+    import importlib
+
+    from pde_multigrid_tpu.parallel import halo
+
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 2, 2), max_cycles=2, tol=0.0
+    )
+    single = MultigridSolver(Poisson(3), 33, cfg).solve_to_tolerance()
+    mesh = pmesh.make_mesh(8)
+    res = {}
+    import os
+
+    for flag in ("1", "0"):
+        os.environ["PDE_MG_SHARD_TIMESKEW"] = flag
+        try:
+            r = MultigridSolver(
+                Poisson(3), 33, cfg, mesh=mesh
+            ).solve_to_tolerance()
+        finally:
+            os.environ.pop("PDE_MG_SHARD_TIMESKEW", None)
+        assert not r.diverged
+        res[flag] = np.asarray(r.v)
+        np.testing.assert_allclose(
+            np.asarray(r.v), np.asarray(single.v), rtol=2e-5, atol=2e-6
+        )
