@@ -246,12 +246,26 @@ class GalerkinKernels:
         offsets_per_level: Sequence[tuple[tuple[int, ...], ...]],
         smoother: str = "rbgs",
         omega: float = 1.0,
+        pallas: str = "off",
     ):
         self.problem = problem
         self.geoms = tuple(geoms)
         self.offsets = list(offsets_per_level)
         self.smoother = smoother
         self.omega = omega
+        # pallas: "off" | "tpu" | "interpret" — resident stencil-operator
+        # relax kernels (ops/pallas/stencilop.py) for levels that fit
+        # VMEM; the jnp tier serves the rest (and non-rbgs smoothers)
+        self._relax_fns = [None] * len(self.geoms)
+        if pallas != "off" and smoother == "rbgs":
+            from pde_multigrid_tpu.ops.pallas import stencilop
+
+            self._relax_fns = [
+                stencilop.make_stencil_relax_resident(
+                    offs, g, jnp.float32, interpret=(pallas == "interpret")
+                )
+                for offs, g in zip(self.offsets, self.geoms)
+            ]
 
     def _op(self, l: int, aux) -> StencilOperator:
         return StencilOperator(
@@ -259,6 +273,16 @@ class GalerkinKernels:
         )
 
     def relax(self, l, v, f, aux, nsweeps, f_zero=False):
+        fn = self._relax_fns[l]
+        if fn is not None:
+            return fn(
+                v,
+                f,
+                aux["stencil_coeffs"],
+                aux["m_red"],
+                aux["m_black"],
+                nsweeps,
+            )
         op = self._op(l, aux)
         if self.smoother == "jacobi":
             return stencil_ops.relax_jacobi(

@@ -226,12 +226,30 @@ class MultigridSolver:
                 [l.aux for l in lv0],
             )
             self._galerkin_coeffs = [op.coeffs for op in ops]
+            # same backend semantics as _pick_kernels: "pallas" forces
+            # (interpreter mode off-TPU, for tests), "auto" engages on
+            # real TPU only, "jnp" stays on the jnp tier
+            from pde_multigrid_tpu.ops.pallas import dispatch as _pd
+
+            if dtype == jnp.dtype("float32") and (
+                self.config.backend == "pallas"
+                or (
+                    self.config.backend == "auto"
+                    and _pd.is_tpu_backend()
+                )
+            ):
+                gal_pallas = (
+                    "tpu" if _pd.is_tpu_backend() else "interpret"
+                )
+            else:
+                gal_pallas = "off"
             kernels = GalerkinKernels(
                 problem,
                 self.geoms,
                 [op.offsets for op in ops],
                 smoother=self.config.cycle.smoother,
                 omega=self.config.cycle.omega,
+                pallas=gal_pallas,
             )
         elif mesh is not None:
             from pde_multigrid_tpu.parallel.sharded import ShardedKernels

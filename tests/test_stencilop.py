@@ -1,0 +1,82 @@
+"""Resident Pallas kernel for implicit-stencil (Galerkin/varcoef)
+operators: bitwise parity vs the jnp tier + end-to-end convergence.
+
+The variable-coefficient problem is the one family whose relax reads a
+per-point coefficient FIELD (aux['stencil_coeffs']) instead of closed-
+form coefficients, so it exercises the operand-passing path the other
+kernel families never touch (ops/pallas/stencilop.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pde_multigrid_tpu import (
+    CycleConfig,
+    MultigridSolver,
+    Poisson,
+    SolverConfig,
+    VariableCoefficientPoisson,
+)
+
+RNG = np.random.default_rng(23)
+
+
+def _solver(prob, n, backend):
+    cfg = SolverConfig(
+        cycle=CycleConfig("v", 0, 2, 2, coarse_operator="galerkin"),
+        backend=backend,
+    )
+    return MultigridSolver(prob, n, cfg)
+
+
+def test_galerkin_pallas_relax_bitwise_vs_jnp():
+    for prob, n in [
+        (VariableCoefficientPoisson(2), 33),
+        (Poisson(3), 17),
+    ]:
+        s = _solver(prob, n, "pallas")
+        ker = s.program.kernels
+        engaged = [
+            l for l, fn in enumerate(ker._relax_fns) if fn is not None
+        ]
+        assert engaged, f"no level engaged the stencil kernel ({prob.name})"
+        levels = s.fresh_levels()
+        for l in engaged:
+            lvl = levels[l]
+            v = jnp.asarray(
+                RNG.standard_normal(lvl.v.shape), jnp.float32
+            ) * lvl.aux["m_log"]
+            f = jnp.asarray(
+                RNG.standard_normal(lvl.f.shape), jnp.float32
+            )
+            # jnp-tier reference: same class with kernels disabled
+            from pde_multigrid_tpu.ops.galerkin import GalerkinKernels
+
+            ref = GalerkinKernels(prob, s.geoms, ker.offsets, pallas="off")
+            for nsweeps in (1, 3):
+                got = ker.relax(l, v, f, lvl.aux, nsweeps)
+                want = ref.relax(l, v, f, lvl.aux, nsweeps)
+                # ulp-level only: XLA contracts a*b-c to FMA differently
+                # inside the pallas interpreter than in the eager jnp
+                # tier (measured max |diff| = 1 ulp, rel ~1e-4 near 0)
+                np.testing.assert_allclose(
+                    np.asarray(got),
+                    np.asarray(want),
+                    rtol=2e-4,
+                    atol=5e-6,
+                    err_msg=f"{prob.name} level {l} nsweeps={nsweeps}",
+                )
+
+
+def test_galerkin_pallas_vcycle_converges_varcoef2d():
+    s = _solver(VariableCoefficientPoisson(2), 33, "pallas")
+    assert any(fn is not None for fn in s.program.kernels._relax_fns)
+    levels = s.fresh_levels()
+    import jax
+
+    step = jax.jit(s.program.solve_step)
+    norms = []
+    for _ in range(3):
+        levels = step(levels)
+        l2, _ = s.program.residual_norms(levels)
+        norms.append(float(l2))
+    assert norms[-1] < 1e-2 * norms[0], norms
