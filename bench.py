@@ -49,6 +49,9 @@ PROBLEM_DEFAULTS = {
     "ode1d": dict(n=8193, nu=1000),
     "lyapunov2d": dict(n=2049, nu=100),
     "hjb2d": dict(n=513, nu=30),
+    # Galerkin showcase: 257^2 rides the resident stencil-operator
+    # kernel (ops/pallas/stencilop.py) at every level
+    "varcoef2d": dict(n=257, nu=20),
 }
 
 
@@ -102,7 +105,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--problem",
-        choices=("poisson3d", "ode1d", "lyapunov2d", "hjb2d"),
+        choices=("poisson3d", "ode1d", "lyapunov2d", "hjb2d", "varcoef2d"),
         default="poisson3d",
     )
     ap.add_argument("--n", type=int, default=0, help="0 = per-problem default")
@@ -208,18 +211,25 @@ def main():
 
 
 # thesis-exact headline configs (SURVEY.md §2.5 drivers; BASELINE.md):
-# reps sized so each row stays ~O(10 s) at the measured per-step times
+# reps sized so each row stays ~O(10 s) at the measured per-step times.
+# The last two rows are extension problems the reference never
+# benchmarked (vs_baseline: null) — recorded so the driver artifact
+# carries their perf story too (VERDICT r2 weak #8).
 THESIS_MATRIX = [
     dict(problem="poisson3d", n=129, nu=3000, nu0=2, reps=8),
     dict(problem="poisson3d", n=257, nu=3000, nu0=2, reps=3),
     dict(problem="lyapunov2d", n=4097, nu=500, nu0=2, reps=6),
     dict(problem="ode1d", n=8193, nu=1000, nu0=2, reps=30),
+    dict(problem="hjb2d", n=513, nu=30, nu0=2, reps=10),
+    dict(problem="varcoef2d", n=257, nu=20, nu0=2, reps=10),
 ]
 
 
 def measure(args, tag=""):
     import jax
     import jax.numpy as jnp
+
+    import functools
 
     from pde_multigrid_tpu import (
         CycleConfig,
@@ -229,6 +239,7 @@ def measure(args, tag=""):
         Ode1D,
         Poisson3D,
         SolverConfig,
+        VariableCoefficientPoisson,
     )
 
     problem = {
@@ -236,6 +247,7 @@ def measure(args, tag=""):
         "ode1d": Ode1D,
         "lyapunov2d": Lyapunov2D,
         "hjb2d": HJBMinTime,
+        "varcoef2d": functools.partial(VariableCoefficientPoisson, 2),
     }[args.problem]()
 
     nonlinear = getattr(problem, "nonlinear", False)
@@ -247,13 +259,20 @@ def measure(args, tag=""):
         if nonlinear
         else ("exact" if args.coarsest == "auto" else args.coarsest)
     )
+    # varcoef: Galerkin RAP coarse operators (the problem's raison
+    # d'etre) + relaxed coarsest — the exact coarse solver probes the
+    # REDISCRETIZED operator, inconsistent with the RAP hierarchy
+    galerkin = args.problem.startswith("varcoef")
+    if galerkin:
+        coarsest = "relax"
     cfg = SolverConfig(
         cycle=CycleConfig(
             "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest,
             scheme="fas" if nonlinear else "cs",
+            coarse_operator="galerkin" if galerkin else "rediscretize",
         ),
         backend=args.backend,
-        precision="f32" if nonlinear else args.precision,
+        precision="f32" if (nonlinear or galerkin) else args.precision,
         pad_last_to=args.pad_last,
     )
     solver = MultigridSolver(problem, args.n, cfg)
@@ -457,8 +476,11 @@ def measure(args, tag=""):
     # (SURVEY.md §2.5), so their error floor is O(h), not O(h^2).
     lo, hi = problem.domain[0]
     h = (hi - lo) / (args.n - 1)
-    if args.problem == "poisson3d":
-        tol = 50 * h * h  # second-order central differences
+    if args.problem in ("poisson3d", "varcoef2d"):
+        # poisson3d: second-order central differences; varcoef2d:
+        # discretely manufactured solution (pure algebraic error) —
+        # 50h^2 is a generous ceiling for both
+        tol = 50 * h * h
     elif args.problem == "hjb2d":
         # monotone first-order scheme on a solution with sqrt-type kinks
         # carries O(sqrt(h)) error near the switching curve (models/hjb.py)

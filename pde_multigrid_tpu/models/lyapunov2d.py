@@ -46,6 +46,11 @@ class Lyapunov2D(ProblemBase):
     # the one-sided stencil reads only the +x neighbor: the 2D split
     # slab kernel then carries no bottom halo at all
     split2d_x_offsets = (+1,)
+    # one-sided => RBGS is bipartite-reducible: kernel_precompute's
+    # (east, south, rhs) coefficient fields, consumed by
+    # relax.make_split_reduced_slab_2d (one full sweep = one black-only
+    # 3-term update)
+    reduced2d_fields = ("a_e", "a_s", "a_f")
     # split_update2d / kernel_update handle f=None (RHS term dropped):
     # kernels may offer their f_zero fast paths
     split_update2d_f_optional = True

@@ -2633,6 +2633,308 @@ def make_split_color_slab_2d(
     return relax
 
 
+# --------------------------------------- 2D reduced-system slab kernel
+
+
+def make_split_reduced_slab_2d(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    slab_rows: int,
+    sweeps_per_call: int = 1,
+    interpret=False,
+):
+    """Reduced-system (black-only) relaxation for one-sided 2D stencils.
+
+    For a one-sided stencil (reads only +x/+y, e.g. Lyapunov), RBGS is a
+    bipartite iteration: red's update reads only black, black's reads
+    only (freshly updated) red.  Substituting red's update into black's
+    collapses ONE FULL RBGS SWEEP (both colors) into a single 3-term
+    black-to-black update
+
+        b <- Cxx * B[x+2, j] + Cxy * B[x+1, j+1-q] + Cyy * B[x, j+1]
+             + Cf
+
+    with all C fields sweep-invariant (built once per chunk from the
+    problem's `kernel_precompute` coefficients at the black point, its
+    red-east neighbor (x+1, y), and its red-south neighbor (x, y+1) —
+    red interior masks folded in, masked-red Dirichlet contributions and
+    the RHS terms folded into Cf).  Red is reconstructed ONCE per chunk
+    from the second-to-last black state: after T sweeps RBGS leaves
+    (r_T, b_T) with r_T = R(b_{T-1}), which is exactly what the
+    `b_prev` copy reproduces — the chunk output matches T reference
+    RBGS sweeps (up to FP reassociation in the precomputed products).
+
+    vs make_split_color_slab_2d per sweep: ~12 VPU ops per point-PAIR
+    instead of ~16, and ONE array (B) read+written instead of both
+    colors — the lever for the leg's measured VMEM-access bound.
+    Same trapezoidal x-blocking, same one-sided 2T-row halo (the
+    reduced stencil consumes 2 rows/sweep, exactly like a red+black
+    pair).  Eligibility: `problem.reduced2d_fields = (east, south, f)`
+    naming its `kernel_precompute` output fields, and
+    `split2d_x_offsets == (+1,)`.
+    """
+    assert geom.ndim == 2 and not geom.wrap
+    assert tuple(getattr(problem, "split2d_x_offsets", ())) == (+1,)
+    ke, ks, kf = problem.reduced2d_fields
+    X, Y = geom.padded_shape
+    Y2 = Y // 2
+    Y2p = _round_up(Y2, 128)
+    B = slab_rows
+    T = sweeps_per_call
+    halo = _round_up(2 * T, 8)
+    ext = B + halo  # one-sided: high-x halo only
+    assert B % 8 == 0 and X % 8 == 0 and X >= ext
+    nblk = X // B
+    rem_start = nblk * B
+    assert rem_start >= geom.shape[0] - 1
+    max_start = X - ext
+    nx = geom.shape[0]
+    ny = geom.shape[1]
+
+    def kernel(*refs, nsweeps_here, with_f):
+        if with_f:
+            (rv_hbm, bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, rfb, bfb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb, rfb, bfb)
+            hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+        else:
+            (rv_hbm, bv_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb)
+            hbms = (rv_hbm, bv_hbm)
+
+        def start_units(p):
+            return jnp.clip(p * (B // 8), 0, max_start // 8)
+
+        def start_of(p):
+            return start_units(p) * 8
+
+        def in_dmas(slot, p):
+            s = start_of(p)
+            return [
+                pltpu.make_async_copy(
+                    h.at[pl.ds(s, ext)],
+                    b.at[slot],
+                    in_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(zip(hbms, bufs))
+            ]
+
+        def out_dmas(slot, p):
+            off = (p * (B // 8) - start_units(p)) * 8
+            return [
+                pltpu.make_async_copy(
+                    b.at[slot, pl.ds(off, B)],
+                    h.at[pl.ds(p * B, B)],
+                    out_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(((ro_hbm, rvb), (bo_hbm, bvb)))
+            ]
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        jj = lax.broadcasted_iota(jnp.int32, (1, Y2p), 1)
+
+        def rl(a, s):
+            return jnp.roll(a, -s, axis=1)
+
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
+
+            @pl.when(p + 1 < nblk)
+            def _():
+                @pl.when(p >= 1)
+                def _():
+                    for d in out_dmas(nxt, p - 1):
+                        d.wait()
+
+                for d in in_dmas(nxt, p + 1):
+                    d.start()
+
+            for d in in_dmas(slot, p):
+                d.wait()
+            s = start_of(p)
+            g = s + lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+            q1 = (g % 2) == 1
+            qi = q1.astype(jnp.int32)
+            y_r = 2 * jj + qi
+            y_b = 2 * jj + 1 - qi
+            one = jnp.asarray(1, dtype)
+            okx = (g >= 1) & (g <= nx - 2)
+            oky_b = (y_b >= 1) & (y_b <= ny - 2)
+            m_b = (okx & oky_b).astype(dtype)
+            m_r = (okx & (y_r >= 1) & (y_r <= ny - 2)).astype(dtype)
+            # red-neighbor interior masks (east: x+1 same y; south: y+1)
+            m_rE = (
+                (g + 1 >= 1) & (g + 1 <= nx - 2) & oky_b
+            ).astype(dtype)
+            m_rS = (
+                okx & (y_b + 1 >= 1) & (y_b + 1 <= ny - 2)
+            ).astype(dtype)
+            lo0, hi0 = geom.domain[0]
+            lo1, hi1 = geom.domain[1]
+
+            def xf(gi):
+                return jnp.clip(
+                    jnp.asarray(geom.origin[0], dtype)
+                    + gi.astype(dtype)
+                    * jnp.asarray(geom.spacing[0], dtype),
+                    min(lo0, hi0),
+                    max(lo0, hi0),
+                )
+
+            def yf(yi):
+                return jnp.clip(
+                    jnp.asarray(geom.origin[1], dtype)
+                    + yi.astype(dtype)
+                    * jnp.asarray(geom.spacing[1], dtype),
+                    min(lo1, hi1),
+                    max(lo1, hi1),
+                )
+
+            pre_b = problem.kernel_precompute(
+                (xf(g), yf(y_b)), geom, dtype
+            )
+            pre_rE = problem.kernel_precompute(
+                (xf(g + 1), yf(y_b)), geom, dtype
+            )
+            pre_rS = problem.kernel_precompute(
+                (xf(g), yf(y_b + 1)), geom, dtype
+            )
+            pre_r = problem.kernel_precompute(
+                (xf(g), yf(y_r)), geom, dtype
+            )
+            ae_b, as_b = pre_b[ke], pre_b[ks]
+            # reduced coefficients (red masks folded in)
+            c_xx = ae_b * m_rE * pre_rE[ke]
+            c_xy = ae_b * m_rE * pre_rE[ks] + as_b * m_rS * pre_rS[ke]
+            c_yy = as_b * m_rS * pre_rS[ks]
+            r_in, b0 = rvb[slot], bvb[slot]
+            # masked-red (Dirichlet ring) contributions; gathers of the
+            # leg-invariant red input: R[x+1, j] and R[x, j+1-q]
+            rE_in = jnp.roll(r_in, -1, axis=0)
+            rS_in = jnp.where(q1, r_in, rl(r_in, 1))
+            c_f = ae_b * (one - m_rE) * rE_in + as_b * (
+                one - m_rS
+            ) * rS_in
+            if with_f:
+                fr, fb = rfb[slot], bfb[slot]
+                frE = jnp.roll(fr, -1, axis=0)
+                frS = jnp.where(q1, fr, rl(fr, 1))
+                c_f = c_f + (
+                    ae_b * m_rE * pre_rE[kf] * frE
+                    + as_b * m_rS * pre_rS[kf] * frS
+                    + pre_b[kf] * fb
+                )
+            c_bk = (one - m_b) * b0  # fold: masked black never changes
+            c_rk = (one - m_r) * r_in
+
+            def one_sweep(_, bp):
+                b, _prev = bp
+                bE2 = jnp.roll(b, -2, axis=0)
+                b1 = jnp.roll(b, -1, axis=0)
+                bXY = jnp.where(q1, b1, rl(b1, 1))
+                bYY = rl(b, 1)
+                upd = c_xx * bE2 + c_xy * bXY + c_yy * bYY + c_f
+                return m_b * upd + c_bk, b
+
+            if nsweeps_here == 1:
+                b, b_prev = one_sweep(0, (b0, b0))
+            else:
+                b, b_prev = lax.fori_loop(
+                    0, nsweeps_here, one_sweep, (b0, b0)
+                )
+            # red reconstruction from the SECOND-TO-LAST black state:
+            # r_T = R(b_{T-1}) — exactly the reference RBGS final red
+            rE = jnp.roll(b_prev, -1, axis=0)
+            rS = jnp.where(q1, rl(b_prev, 1), b_prev)
+            r_upd = pre_r[ke] * rE + pre_r[ks] * rS
+            if with_f:
+                r_upd = r_upd + pre_r[kf] * rfb[slot]
+            rvb[slot] = m_r * r_upd + c_rk
+            bvb[slot] = b
+            for d in out_dmas(slot, p):
+                d.start()
+            return 0
+
+        lax.fori_loop(0, nblk, body, 0)
+        for d in out_dmas((nblk - 1) % 2, nblk - 1):
+            d.wait()
+        if nblk > 1:
+            for d in out_dmas((nblk - 2) % 2, nblk - 2):
+                d.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(nsweeps_here: int, with_f: bool = True):
+        nin = 4 if with_f else 2
+        call = pl.pallas_call(
+            functools.partial(
+                kernel, nsweeps_here=nsweeps_here, with_f=with_f
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
+                jax.ShapeDtypeStruct((rem_start, Y2p), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * nin,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ext, Y2p), dtype) for _ in range(nin)
+            ] + [
+                pltpu.SemaphoreType.DMA((2, nin)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
+        if rem_start == X:
+            return call
+
+        def with_tail(r, b, *fs):
+            ro, bo = call(r, b, *fs)
+            return (
+                jnp.concatenate([ro, r[rem_start:]], axis=0),
+                jnp.concatenate([bo, b[rem_start:]], axis=0),
+            )
+
+        return with_tail
+
+    qx = _qx_mask(X)
+
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
+        def pad(a):
+            return jnp.pad(a, ((0, 0), (0, Y2p - Y2)))
+
+        r, b = (pad(a) for a in split_colors_2d(v, qx))
+        fs = () if f_zero else tuple(
+            pad(a) for a in split_colors_2d(f, qx)
+        )
+        n_full, rem = divmod(nsweeps, T)
+        if n_full:
+            full = build(T, not f_zero)
+            if n_full == 1:
+                r, b = full(r, b, *fs)
+            else:
+                r, b = lax.fori_loop(
+                    0,
+                    n_full,
+                    lambda _, rb: full(rb[0], rb[1], *fs),
+                    (r, b),
+                )
+        if rem:
+            r, b = build(rem, not f_zero)(r, b, *fs)
+        return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
+
+    relax.supports_f_zero = bool(
+        getattr(problem, "split_update2d_f_optional", False)
+    )
+    return relax
+
+
 # ------------------------------------- 2D-blocked split-color slab kernel
 
 
@@ -2949,6 +3251,13 @@ SPLIT2D_T = int(os.environ.get("PDE_MG_SPLIT2D_T", "16"))
 # interleaved rounds): 256 beat 512 on every paired run (31.0/31.2 vs
 # 32.4/32.8 ms/step) — 513^2-class levels now ride the split kernel.
 SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "256"))
+# reduced-system (black-only) kernel for one-sided 2D stencils
+# (make_split_reduced_slab_2d): one full RBGS sweep as a single 3-term
+# black update.  Default OFF until hardware-A/B'd vs the color slab
+# (scripts/ab_split2d_reduced.py).
+SPLIT2D_REDUCED = (
+    os.environ.get("PDE_MG_SPLIT2D_REDUCED", "0") == "1"
+)
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -3158,6 +3467,11 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         # B=128 hardware-A/B'd at 2049^2: 26.8 vs 29.5 us/sweep over B=64
         # (halo-redundant compute 1.125x vs 1.25x); B=256 busts scoped
         # VMEM (measured 16.71M > 16M) and the cost model rejects it
+        reduced = (
+            SPLIT2D_REDUCED
+            and hasattr(problem, "reduced2d_fields")
+            and tuple(getattr(problem, "split2d_x_offsets", ())) == (1,)
+        )
         for B in (128, 64, 32, 16, 8):
             ext = B + n_sides * _round_up(2 * T2, 8)
             if shape[0] < ext:
@@ -3165,7 +3479,12 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
             if (shape[0] // B) * B < geom.shape[0] - 1:
                 continue
             if half_row * 12 * ext <= SLAB_VMEM_BUDGET:
-                return make_split_color_slab_2d(
+                maker = (
+                    make_split_reduced_slab_2d
+                    if reduced
+                    else make_split_color_slab_2d
+                )
+                return maker(
                     problem, geom, dtype, B,
                     sweeps_per_call=T2, interpret=interpret,
                 )

@@ -753,3 +753,85 @@ def test_planner_tier_selection_at_bench_sizes():
     assert tier(Ode1D(), 8193, 1, False) == (
         "make_split_resident_relax_1d"
     )
+
+
+@pytest.mark.parametrize("B,T", [(8, 1), (8, 2), (16, 4)])
+def test_split_reduced_slab_2d_matches_jnp(B, T):
+    """Reduced-system (black-only) kernel: one full RBGS sweep as a
+    single 3-term black update + per-chunk red reconstruction ==
+    dense masked RBGS, for the one-sided Lyapunov stencil (the only
+    eligible family).  Tolerance-based: the precomputed coefficient
+    products (Cxx = ae_b*ae_r, ...) reassociate the FP arithmetic."""
+    prob = Lyapunov2D()
+    h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
+    lvl, geom = h.levels[0], h.geoms[0]
+    v = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+    )
+    f = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+    )
+    fn = R.make_split_reduced_slab_2d(
+        prob, geom, F32, B, sweeps_per_call=T, interpret=True
+    )
+    for ns in (1, 2, 5):
+        got = np.asarray(fn(v, f, ns))
+        want = np.asarray(_jnp_relax(prob, lvl, geom, v, f, ns))
+        np.testing.assert_allclose(
+            got, want, rtol=2e-5, atol=2e-6,
+            err_msg=f"B={B} T={T} ns={ns}",
+        )
+
+
+def test_split_reduced_slab_2d_f_zero():
+    """Reduced kernel's f_zero path (all RHS terms dropped from Cf and
+    the red reconstruction) == explicit zero RHS."""
+    prob = Lyapunov2D()
+    h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
+    geom = h.geoms[0]
+    v = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+    )
+    garbage = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32)
+    )
+    zeros = jnp.zeros(geom.padded_shape, jnp.float32)
+    fn = R.make_split_reduced_slab_2d(
+        prob, geom, F32, 8, sweeps_per_call=2, interpret=True
+    )
+    assert fn.supports_f_zero
+    for ns in (1, 5):
+        got = np.asarray(fn(v, garbage, ns, f_zero=True))
+        want = np.asarray(fn(v, zeros, ns))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-6, atol=1e-7, err_msg=f"ns={ns}"
+        )
+
+
+def test_split2d_reduced_gate_full_solve():
+    """PDE_MG_SPLIT2D_REDUCED engages the reduced kernel in the
+    planner; a full forced-pallas lyapunov solve must still match the
+    jnp tier end-to-end."""
+    from pde_multigrid_tpu import Lyapunov2D as L2D
+
+    orig_y2, orig_red = R.SPLIT2D_MIN_Y2, R.SPLIT2D_REDUCED
+    try:
+        R.SPLIT2D_MIN_Y2 = 16
+        R.SPLIT2D_REDUCED = True
+        fn = R.plan_relax(L2D(), 
+            Hierarchy.build(
+                L2D(), 65, pad_last_to=128, pad_sublane_to=8
+            ).geoms[0], F32, interpret=True)
+        assert fn is not None
+        cfg_p = SolverConfig(
+            cycle=CycleConfig("fmg", 1, 2, 2), backend="pallas",
+            pad_last_to=128,
+        )
+        rp = MultigridSolver(L2D(), 33, cfg_p).solve()
+    finally:
+        R.SPLIT2D_MIN_Y2 = orig_y2
+        R.SPLIT2D_REDUCED = orig_red
+    cfg_j = SolverConfig(cycle=CycleConfig("fmg", 1, 2, 2), backend="jnp")
+    rj = MultigridSolver(L2D(), 33, cfg_j).solve()
+    assert abs(rp.error_linf - rj.error_linf) < 1e-5
+    assert abs(rp.residual_l2 - rj.residual_l2) < 1e-5
