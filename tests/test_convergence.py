@@ -210,3 +210,20 @@ def test_f_zero_threading():
     )
     prog3.solve_step(tuple(h3.levels))
     assert not any(fz for (_, fz) in calls)
+
+
+def test_baseline_config1_ode1d_vcycle_jacobi_to_1e8():
+    """BASELINE.json config 1 verbatim: 1D two-point BVP, N=1025,
+    V-cycle with (damped, omega=2/3) Jacobi smoothing, iterated to a
+    1e-8 residual."""
+    cfg = SolverConfig(
+        cycle=CycleConfig(
+            "v", 0, 4, 4, smoother="jacobi", omega=2.0 / 3.0
+        ),
+        dtype="float64",
+        max_cycles=30,
+        tol=1e-8,
+    )
+    r = MultigridSolver(Ode1D(), 1025, cfg).solve_to_tolerance()
+    assert r.residual_l2 <= 1e-8
+    assert r.cycles_run < 30
