@@ -212,6 +212,13 @@ class MultigridSolver:
                 galerkin_hierarchy,
             )
 
+            if mesh is not None:
+                # explicit, not silent (cf. the galerkin x wrap fix):
+                # the sharded tier has no stencil-coefficient relax path
+                raise ValueError(
+                    "coarse_operator='galerkin' is not supported on a "
+                    "device mesh yet; drop mesh= or use rediscretize"
+                )
             if not hasattr(problem, "stencil_operator"):
                 raise ValueError(
                     f"problem {problem.name} has no stencil_operator; "

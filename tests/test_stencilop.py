@@ -80,3 +80,24 @@ def test_galerkin_pallas_vcycle_converges_varcoef2d():
         l2, _ = s.program.residual_norms(levels)
         norms.append(float(l2))
     assert norms[-1] < 1e-2 * norms[0], norms
+
+
+def test_galerkin_on_mesh_raises():
+    """galerkin x mesh must fail loudly, not silently drop the mesh
+    (the sharded tier has no stencil-coefficient relax path)."""
+    import pytest
+
+    from pde_multigrid_tpu.parallel import mesh as pmesh
+
+    m = pmesh.make_mesh(1)
+    with pytest.raises(ValueError, match="galerkin"):
+        MultigridSolver(
+            VariableCoefficientPoisson(2),
+            17,
+            SolverConfig(
+                cycle=CycleConfig(
+                    "v", 0, 2, 2, coarse_operator="galerkin"
+                )
+            ),
+            mesh=m,
+        )
