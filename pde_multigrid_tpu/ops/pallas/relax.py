@@ -2832,21 +2832,24 @@ def make_split_reduced_slab_2d(
             c_bk = (one - m_b) * b0  # fold: masked black never changes
             c_rk = (one - m_r) * r_in
 
-            def one_sweep(_, bp):
-                b, _prev = bp
+            def one_sweep(_, b):
                 bE2 = jnp.roll(b, -2, axis=0)
                 b1 = jnp.roll(b, -1, axis=0)
                 bXY = jnp.where(q1, b1, rl(b1, 1))
                 bYY = rl(b, 1)
                 upd = c_xx * bE2 + c_xy * bXY + c_yy * bYY + c_f
-                return m_b * upd + c_bk, b
+                return m_b * upd + c_bk
 
+            # loop carries ONLY b (a (b, b_prev) carry costs a full
+            # extra VMEM copy per sweep — measured 24% slower); the
+            # final sweep is peeled so b_prev falls out for free
             if nsweeps_here == 1:
-                b, b_prev = one_sweep(0, (b0, b0))
+                b_prev = b0
             else:
-                b, b_prev = lax.fori_loop(
-                    0, nsweeps_here, one_sweep, (b0, b0)
+                b_prev = lax.fori_loop(
+                    0, nsweeps_here - 1, one_sweep, b0
                 )
+            b = one_sweep(0, b_prev)
             # red reconstruction from the SECOND-TO-LAST black state:
             # r_T = R(b_{T-1}) — exactly the reference RBGS final red
             rE = jnp.roll(b_prev, -1, axis=0)
