@@ -2332,6 +2332,182 @@ def merge_colors_2d(r, b, qx):
     return jnp.stack([v0, v1], axis=2).reshape(r.shape[0], -1)
 
 
+def _exact_pick_dot_rhs(a, p):
+    """a @ p for a 0/1 single-entry-per-column pick matrix p (lane-dim
+    contraction), bitwise-exact on the bf16 MXU via the three-term bf16
+    decomposition of `a` (mirror of _exact_pick_dot)."""
+    h1 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    r1 = a - h1
+    h2 = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    h3 = r1 - h2
+    return (
+        jnp.dot(h1, p, preferred_element_type=jnp.float32)
+        + jnp.dot(h2, p, preferred_element_type=jnp.float32)
+        + jnp.dot(h3, p, preferred_element_type=jnp.float32)
+    )
+
+
+def _conv_rows_2d(X: int, Y: int) -> int:
+    row = (Y * 2) * 4  # in row + two half-rows out
+    for B in (256, 128, 64, 32, 16, 8):
+        if X % B == 0 and row * 7 * B <= SLAB_VMEM_BUDGET:
+            return B
+    return 8
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_split_2d(X: int, Y: int, Y2p: int, dtype, interpret=False):
+    """split+pad(v (X,Y)) -> (r, b) (X, Y2p): the pallas tier of
+    split_colors_2d + jnp.pad.  The XLA lane-dim reshape+parity-select
+    lowers to a gather (measured 3.35 ms per conversion at 2049² — the
+    entire 2D FMG fixed cost, 4 legs x split+merge ~ 26.6 ms/step);
+    here each 128-lane output chunk is an MXU pick-dot of a 256-lane
+    input chunk (the interleave pattern repeats every 256 lanes, so one
+    (256,128) 0/1 matrix serves every chunk; bitwise-exact via the
+    three-term bf16 data split)."""
+    Y2 = Y // 2
+    assert Y % 2 == 0 and Y2p % 128 == 0 and X % 8 == 0
+    B = _conv_rows_2d(X, Y)
+    # periodic picks: p0[yy, jj] = [yy == 2jj], p1[yy, jj] = [yy == 2jj+1]
+    p0 = np.zeros((256, 128), np.float32)
+    p1 = np.zeros((256, 128), np.float32)
+    jj = np.arange(128)
+    p0[2 * jj, jj] = 1.0
+    p1[2 * jj + 1, jj] = 1.0
+    p0 = jnp.asarray(p0)
+    p1 = jnp.asarray(p1)
+    nJ = Y2p // 128
+
+    def kernel(v_ref, p0_ref, p1_ref, r_ref, b_ref):
+        x0 = pl.program_id(0) * B
+        gx = x0 + lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        q1 = (gx % 2) == 1
+        v = v_ref[:]
+        for J in range(nJ):
+            lo = 256 * J
+            w = min(256, Y - lo)
+            if w <= 0:
+                z = jnp.zeros((B, 128), dtype)
+                r_ref[:, 128 * J : 128 * (J + 1)] = z
+                b_ref[:, 128 * J : 128 * (J + 1)] = z
+                continue
+            a = v[:, lo : lo + w]
+            s0 = _exact_pick_dot_rhs(a, p0_ref[:w])
+            s1 = _exact_pick_dot_rhs(a, p1_ref[:w])
+            r_ref[:, 128 * J : 128 * (J + 1)] = jnp.where(q1, s1, s0)
+            b_ref[:, 128 * J : 128 * (J + 1)] = jnp.where(q1, s0, s1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // B,),
+        in_specs=[
+            pl.BlockSpec((B, Y), lambda i: (i, 0)),
+            pl.BlockSpec((256, 128), lambda i: (0, 0)),
+            pl.BlockSpec((256, 128), lambda i: (0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((B, Y2p), lambda i: (i, 0)),
+            pl.BlockSpec((B, Y2p), lambda i: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((X, Y2p), dtype),
+            jax.ShapeDtypeStruct((X, Y2p), dtype),
+        ),
+        interpret=interpret,
+    ), p0, p1
+
+
+@functools.lru_cache(maxsize=None)
+def _pallas_merge_2d(X: int, Y: int, Y2p: int, dtype, interpret=False):
+    """merge(r, b (X,Y2p)) -> v (X,Y): inverse of _pallas_split_2d
+    (transposed picks; pad lanes never picked)."""
+    Y2 = Y // 2
+    assert Y % 2 == 0 and Y2p % 128 == 0 and X % 8 == 0
+    B = _conv_rows_2d(X, Y)
+    u0 = np.zeros((128, 256), np.float32)
+    u1 = np.zeros((128, 256), np.float32)
+    jj = np.arange(128)
+    u0[jj, 2 * jj] = 1.0
+    u1[jj, 2 * jj + 1] = 1.0
+    u0 = jnp.asarray(u0)
+    u1 = jnp.asarray(u1)
+    nJ = Y2p // 128
+
+    def kernel(r_ref, b_ref, u0_ref, u1_ref, v_ref):
+        x0 = pl.program_id(0) * B
+        gx = x0 + lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+        q1 = (gx % 2) == 1
+        r, b = r_ref[:], b_ref[:]
+        for J in range(nJ):
+            lo = 256 * J
+            w = min(256, Y - lo)
+            if w <= 0:
+                continue
+            rj = r[:, 128 * J : 128 * (J + 1)]
+            bj = b[:, 128 * J : 128 * (J + 1)]
+            v0 = jnp.where(q1, bj, rj)  # even-y values
+            v1 = jnp.where(q1, rj, bj)  # odd-y values
+            v_ref[:, lo : lo + w] = (
+                _exact_pick_dot_rhs(v0, u0_ref[:, :w])
+                + _exact_pick_dot_rhs(v1, u1_ref[:, :w])
+            )
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // B,),
+        in_specs=[
+            pl.BlockSpec((B, Y2p), lambda i: (i, 0)),
+            pl.BlockSpec((B, Y2p), lambda i: (i, 0)),
+            pl.BlockSpec((128, 256), lambda i: (0, 0)),
+            pl.BlockSpec((128, 256), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((B, Y), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((X, Y), dtype),
+        interpret=interpret,
+    ), u0, u1
+
+
+# Default OFF: ISOLATED XLA conversions measure 3.35 ms each at 2049²
+# (lane-gather lowering), but inside the full FMG program XLA fuses
+# the gathers into the surrounding consumers and the real cost mostly
+# vanishes — the opaque pallas converters then BREAK those fusions and
+# LOSE end-to-end (interleaved two-nu A/B, scripts/ab_split2d_conv.py,
+# 2026-08-20: step fixed 12.2 vs 10.2 ms, slope parity, identical
+# residuals).  Kept for layouts where the fusion can't happen.
+SPLIT2D_CONV_KERNEL = (
+    os.environ.get("PDE_MG_SPLIT2D_CONV_KERNEL", "0") == "1"
+)
+
+
+def make_color_converters_2d(X, Y, Y2p, dtype, interpret=False):
+    """(split_pad, merge) pair for one padded 2D level: pallas MXU
+    pick-dot tier when aligned, XLA reshape+select fallback otherwise.
+    split_pad(v) -> (r, b) lane-padded to Y2p; merge(r, b) -> v."""
+    Y2 = Y // 2
+    qx = _qx_mask(X)
+    if (
+        SPLIT2D_CONV_KERNEL
+        and Y % 2 == 0
+        and Y2p % 128 == 0
+        and X % 8 == 0
+    ):
+        sc, p0, p1 = _pallas_split_2d(X, Y, Y2p, dtype, interpret)
+        mc, u0, u1 = _pallas_merge_2d(X, Y, Y2p, dtype, interpret)
+        return (
+            lambda v: sc(v, p0, p1),
+            lambda r, b: mc(r, b, u0, u1),
+        )
+
+    def split_pad(v):
+        r, b = split_colors_2d(v, qx)
+        pad = ((0, 0), (0, Y2p - Y2))
+        return jnp.pad(r, pad), jnp.pad(b, pad)
+
+    return split_pad, (
+        lambda r, b: merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
+    )
+
+
 def make_split_color_slab_2d(
     problem,
     geom: LevelGeometry,
@@ -2599,16 +2775,13 @@ def make_split_color_slab_2d(
 
         return with_tail
 
-    qx = _qx_mask(X)
+    conv_split, conv_merge = make_color_converters_2d(
+        X, Y, Y2p, dtype, interpret
+    )
 
     def relax(v, f, nsweeps: int, f_zero: bool = False):
-        def pad(a):
-            return jnp.pad(a, ((0, 0), (0, Y2p - Y2)))
-
-        r, b = (pad(a) for a in split_colors_2d(v, qx))
-        fs = () if f_zero else tuple(
-            pad(a) for a in split_colors_2d(f, qx)
-        )
+        r, b = conv_split(v)
+        fs = () if f_zero else conv_split(f)
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T, not f_zero)
@@ -2623,7 +2796,7 @@ def make_split_color_slab_2d(
                 )
         if rem:
             r, b = build(rem, not f_zero)(r, b, *fs)
-        return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
+        return conv_merge(r, b)
 
     # the f_zero fast path calls problem.split_update2d(nbr, None, ...):
     # only offered when the problem declares it handles a None RHS
@@ -2906,16 +3079,13 @@ def make_split_reduced_slab_2d(
 
         return with_tail
 
-    qx = _qx_mask(X)
+    conv_split, conv_merge = make_color_converters_2d(
+        X, Y, Y2p, dtype, interpret
+    )
 
     def relax(v, f, nsweeps: int, f_zero: bool = False):
-        def pad(a):
-            return jnp.pad(a, ((0, 0), (0, Y2p - Y2)))
-
-        r, b = (pad(a) for a in split_colors_2d(v, qx))
-        fs = () if f_zero else tuple(
-            pad(a) for a in split_colors_2d(f, qx)
-        )
+        r, b = conv_split(v)
+        fs = () if f_zero else conv_split(f)
         n_full, rem = divmod(nsweeps, T)
         if n_full:
             full = build(T, not f_zero)
@@ -2930,7 +3100,7 @@ def make_split_reduced_slab_2d(
                 )
         if rem:
             r, b = build(rem, not f_zero)(r, b, *fs)
-        return merge_colors_2d(r[:, :Y2], b[:, :Y2], qx)
+        return conv_merge(r, b)
 
     relax.supports_f_zero = bool(
         getattr(problem, "split_update2d_f_optional", False)

@@ -835,3 +835,38 @@ def test_split2d_reduced_gate_full_solve():
     rj = MultigridSolver(L2D(), 33, cfg_j).solve()
     assert abs(rp.error_linf - rj.error_linf) < 1e-5
     assert abs(rp.residual_l2 - rj.residual_l2) < 1e-5
+
+
+def test_pallas_2d_color_converters_bitwise():
+    """MXU pick-dot 2D converters (dense->split+pad, merge) are
+    bitwise-identical to the XLA reshape+select path (0/1 picks with
+    the three-term bf16 data split are exact)."""
+    for n in (33, 65):
+        h = Hierarchy.build(
+            Lyapunov2D(), n, pad_last_to=128, pad_sublane_to=8
+        )
+        geom = h.geoms[0]
+        X, Y = geom.padded_shape
+        Y2 = Y // 2
+        Y2p = -(-Y2 // 128) * 128
+        v = jnp.asarray(
+            RNG.standard_normal((X, Y)).astype(np.float32)
+        )
+        qx = R._qx_mask(X)
+        sc, p0, p1 = R._pallas_split_2d(
+            X, Y, Y2p, F32, interpret=True
+        )
+        mc, u0, u1 = R._pallas_merge_2d(
+            X, Y, Y2p, F32, interpret=True
+        )
+        r_k, b_k = sc(v, p0, p1)
+        r_x, b_x = R.split_colors_2d(v, qx)
+        pad = ((0, 0), (0, Y2p - Y2))
+        np.testing.assert_array_equal(
+            np.asarray(r_k), np.asarray(jnp.pad(r_x, pad))
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b_k), np.asarray(jnp.pad(b_x, pad))
+        )
+        v_k = mc(r_k, b_k, u0, u1)
+        np.testing.assert_array_equal(np.asarray(v_k), np.asarray(v))
