@@ -108,16 +108,28 @@ def make_sharded_relax(
         and hasattr(problem, "split_update")
         and not hasattr(problem, "kernel_keep_mask")
         and x_loc % 2 == 0
+        and geom.padded_shape[1] % 2 == 0
         and os.environ.get("PDE_MG_SHARD_TIMESKEW", "1") == "1"
     ):
         from pde_multigrid_tpu.ops.pallas import dispatch as _pd
         from pde_multigrid_tpu.ops.pallas import relax as _pr
 
-        P_half = _pr.tile_padded_bytes(
-            (1, geom.padded_shape[1] // 2, geom.padded_shape[2])
+        _interp = not _pd.is_tpu_backend()
+        Y2, Z = geom.padded_shape[1] // 2, geom.padded_shape[2]
+        # On real TPU, mirror plan_relax's gates (relax.py): the kernel
+        # asserts Z % 128 == 0 and Y2 % 8 == 0 when interpret=False —
+        # without this check a misaligned sharded level (65^3/33^3:
+        # padded Z=64/32) would raise inside the first hardware trace
+        # instead of falling through to the masked-block engine (ADVICE
+        # r3 high); and below ~16K-point half-planes the masked-block
+        # engine measured faster on hardware (19-21 vs 31-33 us/sweep —
+        # ADVICE r3 low).  Interpret mode (CPU tests) keeps engaging at
+        # any size so the bitwise-in-tier coverage stays real.
+        hw_ok = _interp or (
+            Z % 128 == 0 and Y2 % 8 == 0 and Y2 * Z >= 16384
         )
-        if (10 * T + 9) * P_half <= _pr.TIMESKEW_VMEM_BUDGET:
-            _interp = not _pd.is_tpu_backend()
+        P_half = _pr.tile_padded_bytes((1, Y2, Z))
+        if hw_ok and (10 * T + 9) * P_half <= _pr.TIMESKEW_VMEM_BUDGET:
             _dt = jnp.dtype(dtype)
 
             @functools.lru_cache(maxsize=None)
