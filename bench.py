@@ -192,22 +192,67 @@ def main():
             file=sys.stderr,
         )
 
-    # headline line FIRST (the driver parses the first JSON line), then
-    # the thesis-exact matrix (VERDICT r2 #5): each row is best-effort —
-    # a tunnel outage on one config must not cost the headline record
-    print(json.dumps(measure(args)))
+    # Artifact protocol (VERDICT r3 #1): the driver parses the LAST
+    # JSON line of the combined output (BENCH_r03.json proves it), so
+    #   1. the flagship headline record goes to stdout FIRST — the
+    #      crash-safe fallback if a later row kills the process;
+    #   2. each thesis-matrix row streams to stderr prefixed
+    #      "[bench] row" (never parseable as the record);
+    #   3. rows that failed (tunnel/compile outages are transient —
+    #      BENCH_r03 lost the lyapunov2d 4097^2 headline to a 2-minute
+    #      HTTP-500 burst) get ONE end-of-matrix retry pass;
+    #   4. the consolidated summary — flagship metric + every row —
+    #      prints LAST on stdout, and is what the driver records.
+    headline = None
+    try:
+        headline = measure(args)
+        print(json.dumps(headline), flush=True)
+    except Exception as e:  # noqa: BLE001
+        print(
+            f"[bench] headline failed: {str(e)[:200]}", file=sys.stderr
+        )
+    rows = []
     if matrix:
         base = vars(args).copy()
-        for row in THESIS_MATRIX:
-            a = argparse.Namespace(**{**base, **row})
-            try:
-                print(json.dumps(measure(a, tag="thesis")))
-            except Exception as e:  # noqa: BLE001
-                print(
-                    f"[bench] matrix row {row} failed: "
-                    f"{str(e)[:200]}",
-                    file=sys.stderr,
-                )
+        pending = [(dict(row), 0) for row in THESIS_MATRIX]
+        retry = []
+        for queue in (pending, retry):
+            for row, attempt in queue:
+                a = argparse.Namespace(**{**base, **row})
+                try:
+                    rec = measure(a, tag="thesis")
+                    rows.append(rec)
+                    print(
+                        "[bench] row " + json.dumps(rec),
+                        file=sys.stderr,
+                        flush=True,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    print(
+                        f"[bench] matrix row {row} failed "
+                        f"(attempt {attempt + 1}): {str(e)[:200]}",
+                        file=sys.stderr,
+                    )
+                    if attempt == 0:
+                        retry.append((row, 1))
+    if headline is None:
+        try:  # end-of-run retry for the flagship itself
+            headline = measure(args)
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"[bench] headline retry failed: {str(e)[:200]}",
+                file=sys.stderr,
+            )
+    if headline is None and rows:
+        # last resort: promote the thesis poisson3d row (else the first
+        # row) so the artifact still carries a real measurement
+        headline = next(
+            (r for r in rows if r["metric"].startswith("poisson3d")),
+            rows[0],
+        )
+    if headline is None:
+        raise SystemExit("[bench] no measurement succeeded")
+    print(json.dumps({**headline, "rows": rows}), flush=True)
 
 
 # thesis-exact headline configs (SURVEY.md §2.5 drivers; BASELINE.md):
@@ -228,6 +273,47 @@ THESIS_MATRIX = [
 
 
 def measure(args, tag=""):
+    """One benchmark row: the headline measurement plus a two-nu slope
+    fit (VERDICT r3 #7).  A row's wall-clock mixes a per-step FIXED cost
+    (transfers, coarse chain, dispatch) with a per-sweep SLOPE; small
+    configs are fixed-cost-dominated, so their raw percent-of-roofline
+    reads as "slow kernel" when it means "amortized dispatch".  The fit
+    re-measures at nu_lo = nu/8 and separates the two (the methodology
+    of scripts/fit_problem.py), reporting fixed_ms and the SLOPE's
+    utilization against the combined HBM/VPU roofline model."""
+    rec, info = _measure_one(args, tag)
+    if args.nu >= 16:
+        import argparse as _ap
+
+        lo = _ap.Namespace(**vars(args))
+        lo.nu = max(2, args.nu // 8)
+        lo.reps = max(4, args.reps)
+        try:
+            _, ilo = _measure_one(lo, tag="slopefit", check=False)
+            du = info["updates"] - ilo["updates"]
+            slope = (info["per_step"] - ilo["per_step"]) / du
+            fixed_ms = (info["per_step"] - slope * info["updates"]) * 1e3
+            m_slope = (info["t_model"] - ilo["t_model"]) / du
+            pct = 100.0 * m_slope / max(slope, 1e-30)
+            rec["fixed_ms"] = round(fixed_ms, 3)
+            rec["slope_pct_of_roofline"] = round(pct, 1)
+            print(
+                f"[bench] two-nu fit ({args.problem} n={args.n}): "
+                f"fixed={fixed_ms:.2f} ms/step, slope "
+                f"{slope*1e12:.3f} ps/update = {pct:.0f}% of the "
+                f"combined-roofline slope",
+                file=sys.stderr,
+            )
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"[bench] two-nu fit failed ({str(e)[:120]}); "
+                "row carries the raw number only",
+                file=sys.stderr,
+            )
+    return rec
+
+
+def _measure_one(args, tag="", check=True):
     import jax
     import jax.numpy as jnp
 
@@ -489,10 +575,11 @@ def measure(args, tag=""):
         tol = 4.0 * h ** 0.5
     else:
         tol = 10 * h  # reference one-sided first-order schemes
-    assert err_linf < max(tol, 5e-5), (
-        f"benchmark run failed to converge: err={err_linf}"
-    )
-    return record
+    if check:
+        assert err_linf < max(tol, 5e-5), (
+            f"benchmark run failed to converge: err={err_linf}"
+        )
+    return record, dict(per_step=per_step, updates=updates, t_model=t_bound)
 
 
 if __name__ == "__main__":
