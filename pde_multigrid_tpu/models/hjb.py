@@ -45,14 +45,20 @@ Discretizations (`scheme`):
 
 Axes: coords[0] = x1, coords[1] = x2 (matching Lyapunov2D's layout).
 
-Accuracy envelope (cross-validated).  The value function's gradient is
-discontinuous across the switching curve x1 = -x2|x2|/2 and T ~ 2 sqrt|x|
-at the target, so ANY first-order monotone scheme carries O(sqrt(h))
-error near the curve with downstream smearing.  An independent
-semi-Lagrangian Kruzkov value iteration (bilinear interpolation,
-u in {-1, 1}) reproduces the same envelope at 65^2 — err_linf 0.19 /
-0.13 away from the curve vs 0.20 / 0.14 for this scheme — confirming
-the error is intrinsic to the discretization order, not the solver:
+Accuracy envelope (cross-validated, rate-pinned).  The value function is
+worse than kinked: on the switching curve itself its gradient is INFINITE
+(right branch T = x2 + 2 sqrt(x2^2/2 + x1) gives T_x1 -> inf as
+x1 -> -x2|x2|/2), i.e. T is Holder-1/2 there, and T ~ 2 sqrt|x| at the
+target.  Since every optimal trajectory passes near the curve, the O(1)
+truncation there pollutes the whole upstream domain, and ANY first-order
+monotone scheme converges at only ~h^0.2 in L-inf GLOBALLY — not the
+classical O(sqrt h).  Measured (f32, FMG(1,3,3) FAS to 1e-7 residual):
+err_linf 0.2032 / 0.1840 / 0.1625 / 0.1406 at 65/129/257/513, fitted
+order 0.176 (tests/test_hjb.py::test_hjb_convergence_order_pinned).  An
+independent semi-Lagrangian Kruzkov value iteration (bilinear
+interpolation, u in {-1, 1}) reproduces the same envelope (0.1906 /
+0.1720 / 0.1520, same order) and agrees with this scheme to 0.017 L-inf
+— the error is intrinsic to the discretization order, not the solver:
 the discrete system itself is solved to ~1e-6 residual by FAS cycles.
 This quantifies (and survives) the failure mode that made the thesis
 drop the problem.

@@ -115,6 +115,131 @@ def test_hjb_tesi_scheme_diverges_as_reported():
     assert r.diverged or r.residual_l2 > 1.0
 
 
+def _solve_hjb(n):
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, 3, 3, scheme="fas"),
+        tol=1e-7,
+        max_cycles=40,
+    )
+    s = MultigridSolver(HJBMinTime(), n, cfg)
+    r = s.solve_to_tolerance()
+    assert not r.diverged
+    return s, r
+
+
+def test_hjb_convergence_order_pinned():
+    """Empirical L-inf convergence order vs the closed-form oracle over
+    n in {65, 129, 257, 513} (VERDICT r3 #5: rate-pin the accuracy).
+
+    The classical O(sqrt(h)) viscosity-solution rate does NOT hold for
+    this problem: the min-time function has an INFINITE gradient on the
+    switching curve itself (right branch T = x2 + 2 sqrt(x2^2/2 + x1),
+    so T_x1 = 1/sqrt(x2^2/2 + x1) -> inf as x1 -> -x2^2/2+), i.e. the
+    value function is Holder-1/2 there, not Lipschitz-with-kinks; and
+    because every optimal trajectory passes near the curve, the O(1)
+    truncation at the curve pollutes the whole upstream domain.  Any
+    first-order monotone scheme therefore measures ~h^0.2 GLOBALLY —
+    confirmed by an independent semi-Lagrangian value iteration (same
+    envelope within 9%, same order; see
+    test_hjb_matches_independent_semilagrangian).  Pinned measurements
+    (f32, FMG(1,3,3) FAS to 1e-7): 0.2032 / 0.1840 / 0.1625 / 0.1406,
+    least-squares order 0.176."""
+    import math
+
+    pinned = {65: 0.2032, 129: 0.1840, 257: 0.1625, 513: 0.1406}
+    errs = []
+    for n, ref in pinned.items():
+        s, r = _solve_hjb(n)
+        assert r.residual_l2 < 1e-4
+        err = float(r.error_linf)
+        errs.append(err)
+        # envelope: no worse than 10% above the pinned value, and not
+        # suspiciously below it (a large sudden "improvement" means the
+        # measurement broke — first-order monotone schemes cannot beat
+        # the Holder-1/2 regularity limit)
+        assert 0.5 * ref < err < 1.10 * ref, (n, err, ref)
+    # least-squares fit of log(err) vs log(h): order in the pinned band
+    xs = [math.log(2.0 / (n - 1)) for n in pinned]
+    ys = [math.log(e) for e in errs]
+    xm, ym = sum(xs) / len(xs), sum(ys) / len(ys)
+    p = sum((x - xm) * (y - ym) for x, y in zip(xs, ys)) / sum(
+        (x - xm) ** 2 for x in xs
+    )
+    assert 0.10 < p < 0.30, f"empirical order {p:.3f} left the pinned band"
+
+
+def _semi_lagrangian_solve(n, sweeps):
+    """Independent cross-check: Kruzkov semi-Lagrangian value iteration
+    (bilinear interpolation, u in {-1, +1}) — shares NO code with the
+    upwind/Godunov discretization or the FAS solver."""
+    import jax
+
+    xs = np.linspace(-1, 1, n).astype(np.float32)
+    x1, x2 = np.meshgrid(xs, xs, indexing="ij")
+    h = 2.0 / (n - 1)
+    t = np.asarray(
+        min_time_double_integrator(jnp.asarray(x1), jnp.asarray(x2))
+    )
+    w_exact = 1.0 - np.exp(-t)
+    dt = 0.5 * h
+    disc = np.exp(-dt)
+    x1j, x2j = jnp.asarray(x1), jnp.asarray(x2)
+    pin = (x1 * x1 + x2 * x2) <= (2 * h) ** 2  # same anchor as HJBMinTime
+    bnd = np.zeros((n, n), bool)
+    bnd[0, :] = bnd[-1, :] = bnd[:, 0] = bnd[:, -1] = True
+    fixed = jnp.asarray(pin | bnd)
+    w_fix = jnp.asarray(w_exact)
+
+    def interp(w, a1, a2):
+        g1, g2 = (a1 + 1.0) / h, (a2 + 1.0) / h
+        i = jnp.clip(jnp.floor(g1).astype(jnp.int32), 0, n - 2)
+        j = jnp.clip(jnp.floor(g2).astype(jnp.int32), 0, n - 2)
+        a = jnp.clip(g1 - i, 0, 1)
+        b = jnp.clip(g2 - j, 0, 1)
+        return (
+            (1 - a) * (1 - b) * w[i, j]
+            + a * (1 - b) * w[i + 1, j]
+            + (1 - a) * b * w[i, j + 1]
+            + a * b * w[i + 1, j + 1]
+        )
+
+    @jax.jit
+    def step(w):
+        cands = [
+            1.0
+            - disc
+            + disc
+            * interp(
+                w,
+                jnp.clip(x1j + dt * x2j, -1, 1),
+                jnp.clip(x2j + dt * u, -1, 1),
+            )
+            for u in (-1.0, 1.0)
+        ]
+        return jnp.where(fixed, w_fix, jnp.minimum(*cands))
+
+    w = jnp.where(fixed, w_fix, jnp.ones((n, n), jnp.float32))
+    for _ in range(sweeps):
+        w = step(w)
+    return np.asarray(w), pin | bnd
+
+
+def test_hjb_matches_independent_semilagrangian():
+    """Two structurally unrelated discretizations of the same HJB agree
+    to ~0.017 L-inf while each sits ~0.19 from the exact solution: the
+    error envelope is the discretization-order limit of the problem
+    (Holder-1/2 value function, see test_hjb_convergence_order_pinned),
+    not a solver artifact.  Measured gaps: 0.0171 (n=65), 0.0156
+    (n=129)."""
+    n = 65
+    w_sl, excl = _semi_lagrangian_solve(n, sweeps=20 * (n - 1))
+    s, r = _solve_hjb(n)
+    w_mg = np.asarray(r.v)[:n, :n]
+    gap = np.abs(w_mg - w_sl)
+    gap[excl] = 0.0
+    assert gap.max() < 0.030, gap.max()
+
+
 def test_fas_galerkin_rejected():
     with pytest.raises(ValueError):
         CycleConfig("v", 1, 2, 2, scheme="fas", coarse_operator="galerkin")
