@@ -2806,6 +2806,264 @@ def make_split_color_slab_2d(
     return relax
 
 
+def make_split_color_slab_2d_shard(
+    problem,
+    geom: LevelGeometry,
+    dtype,
+    sweeps_per_call: int,
+    halo_sweeps: int,
+    x_loc: int,
+    interpret=False,
+):
+    """Per-shard color-split slab chunk for the sharded 2D smoother
+    (parallel/halo.py; VERDICT r3 #2 — the 2D counterpart of
+    make_split_timeskew_relax_shard).
+
+    Identical per-point arithmetic and block schedule to
+    make_split_color_slab_2d, windowed onto one shard's extended slab:
+    the kernel ingests red/black (+ RHS) halves for the shard's x_loc
+    owned rows plus round_up(2*halo_sweeps, 8) halo rows per x-side the
+    stencil reads (supplied by the ppermute exchange where the
+    single-chip kernel reads neighboring rows of the same array) and
+    emits exact owned rows after `sweeps_per_call` <= halo_sweeps
+    sweeps.  The trapezoid argument gives exactness: stale-edge
+    corruption advances 2 rows per red+black sweep, so valid halos of
+    2*t rows keep the owned window exact for t sweeps; at domain ends
+    the ring-wrapped halo rows are garbage, but the global boundary /
+    padding rows there are masked off and never update, which blocks
+    the corruption front before it reaches an owned interior row.
+
+    The global row of ext row 0 enters as an SMEM scalar g0 (always
+    even: x_loc % 8 == 0 and the halos are 8-aligned, so checkerboard
+    parity and coordinate fields use g = g0 + row with no per-shard
+    recompile).  One-sided stencils (Lyapunov: split2d_x_offsets ==
+    (+1,)) drop the bottom halo entirely — half the ICI volume and
+    half the redundant halo compute.
+
+    HBM traffic per t-sweep chunk: read r+b (+fr+fb) ext, write owned
+    r+b ~ (2..4)*(ext/B) + 2 arrays per CHUNK — the single-chip split-
+    slab economics (~1.1 B/point/sweep at T=8) vs the masked-block
+    fallback engine's ~3.5 arrays per SWEEP."""
+    assert geom.ndim == 2 and not geom.wrap
+    X, Y = geom.padded_shape
+    Y2 = Y // 2
+    Y2p = _round_up(Y2, 128)
+    T = halo_sweeps
+    t_here = sweeps_per_call
+    assert 1 <= t_here <= T
+    x_offs = tuple(getattr(problem, "split2d_x_offsets", (-1, +1)))
+    use_sel = os.environ.get("PDE_MG_RBGS_SELECT", "0") == "1"
+    use_fold = (
+        os.environ.get("PDE_MG_SPLIT2D_FOLD", "1") == "1" and not use_sel
+    )
+    halo = _round_up(2 * T, 8)
+    halo_lo = halo if -1 in x_offs else 0
+    halo_hi = halo if +1 in x_offs else 0
+    XE = x_loc + halo_lo + halo_hi
+    assert x_loc % 8 == 0  # sublane-aligned DMA offsets + even parity
+    # block rows: largest divisor of x_loc whose window fits the same
+    # VMEM cost model as the single-chip kernel
+    half_row = Y2p * 4
+    B = None
+    for cand in (128, 64, 32, 16, 8):
+        ext_c = cand + halo_lo + halo_hi
+        if x_loc % cand == 0 and half_row * 12 * ext_c <= SLAB_VMEM_BUDGET:
+            B = cand
+            break
+    assert B is not None, (x_loc, Y2p)
+    ext = B + halo_lo + halo_hi
+    nblk = x_loc // B
+    ny = geom.shape[1]
+    nx = geom.shape[0]
+
+    def kernel(*refs, with_f):
+        if with_f:
+            (g0_ref, rv_hbm, bv_hbm, rf_hbm, bf_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, rfb, bfb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb, rfb, bfb)
+            hbms = (rv_hbm, bv_hbm, rf_hbm, bf_hbm)
+        else:
+            (g0_ref, rv_hbm, bv_hbm, ro_hbm, bo_hbm,
+             rvb, bvb, in_sem, out_sem) = refs
+            bufs = (rvb, bvb)
+            hbms = (rv_hbm, bv_hbm)
+        g0 = g0_ref[0]
+
+        def in_dmas(slot, p):
+            # ext slab carries exactly the halos each window wants:
+            # block p's window is [p*B, p*B + ext) — no clipping
+            return [
+                pltpu.make_async_copy(
+                    h.at[pl.ds(p * B, ext)],
+                    b.at[slot],
+                    in_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(zip(hbms, bufs))
+            ]
+
+        def out_dmas(slot, p):
+            return [
+                pltpu.make_async_copy(
+                    b.at[slot, pl.ds(halo_lo, B)],
+                    h.at[pl.ds(p * B, B)],
+                    out_sem.at[slot, k],
+                )
+                for k, (h, b) in enumerate(((ro_hbm, rvb), (bo_hbm, bvb)))
+            ]
+
+        for d in in_dmas(0, 0):
+            d.start()
+
+        jj = lax.broadcasted_iota(jnp.int32, (1, Y2p), 1)
+
+        def rl(a, s):
+            return jnp.roll(a, -s, axis=1)
+
+        def nbr_factory(other, q1):
+            def nbr(ax, off):
+                if ax == 0:
+                    return jnp.roll(other, -off, axis=0)
+                if off == +1:
+                    return jnp.where(q1, rl(other, 1), other)
+                return jnp.where(q1, other, rl(other, -1))
+
+            return nbr
+
+        def body(p, _):
+            slot = p % 2
+            nxt = (p + 1) % 2
+
+            @pl.when(p + 1 < nblk)
+            def _():
+                @pl.when(p >= 1)
+                def _():
+                    for d in out_dmas(nxt, p - 1):
+                        d.wait()
+
+                for d in in_dmas(nxt, p + 1):
+                    d.start()
+
+            for d in in_dmas(slot, p):
+                d.wait()
+            g = (
+                g0
+                + p * B
+                + lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+            )
+            q1 = (g % 2) == 1
+            qi = q1.astype(jnp.int32)
+            y_r = 2 * jj + qi
+            y_b = 2 * jj + 1 - qi
+            okx = (g >= 1) & (g <= nx - 2)
+            m_r = (y_r >= 1) & (y_r <= ny - 2) & okx
+            m_b = (y_b >= 1) & (y_b <= ny - 2) & okx
+            if not use_sel:
+                m_r, m_b = m_r.astype(dtype), m_b.astype(dtype)
+            one = jnp.asarray(1, dtype)
+            lo0, hi0 = geom.domain[0]
+            lo1, hi1 = geom.domain[1]
+            xf = jnp.clip(
+                jnp.asarray(geom.origin[0], dtype)
+                + g.astype(dtype) * jnp.asarray(geom.spacing[0], dtype),
+                min(lo0, hi0),
+                max(lo0, hi0),
+            )
+
+            def yf(yi):
+                return jnp.clip(
+                    jnp.asarray(geom.origin[1], dtype)
+                    + yi.astype(dtype)
+                    * jnp.asarray(geom.spacing[1], dtype),
+                    min(lo1, hi1),
+                    max(lo1, hi1),
+                )
+
+            pre_r = problem.kernel_precompute((xf, yf(y_r)), geom, dtype)
+            pre_b = problem.kernel_precompute((xf, yf(y_b)), geom, dtype)
+            r, b = rvb[slot], bvb[slot]
+            fr, fb = (rfb[slot], bfb[slot]) if with_f else (None, None)
+            if use_fold:
+                c_r = (one - m_r) * r
+                c_b = (one - m_b) * b
+
+            def one_sweep(_, rb):
+                r, b = rb
+                upd = problem.split_update2d(
+                    nbr_factory(b, q1), fr, pre_r, geom
+                )
+                if use_fold:
+                    r = m_r * upd + c_r
+                elif use_sel:
+                    r = jnp.where(m_r, upd, r)
+                else:
+                    r = r + m_r * (upd - r)
+                upd = problem.split_update2d(
+                    nbr_factory(r, jnp.logical_not(q1)), fb, pre_b, geom
+                )
+                if use_fold:
+                    b = m_b * upd + c_b
+                elif use_sel:
+                    b = jnp.where(m_b, upd, b)
+                else:
+                    b = b + m_b * (upd - b)
+                return r, b
+
+            if t_here == 1:
+                r, b = one_sweep(0, (r, b))
+            else:
+                r, b = lax.fori_loop(0, t_here, one_sweep, (r, b))
+            rvb[slot] = r
+            bvb[slot] = b
+            for d in out_dmas(slot, p):
+                d.start()
+            return 0
+
+        lax.fori_loop(0, nblk, body, 0)
+        for d in out_dmas((nblk - 1) % 2, nblk - 1):
+            d.wait()
+        if nblk > 1:
+            for d in out_dmas((nblk - 2) % 2, nblk - 2):
+                d.wait()
+
+    @functools.lru_cache(maxsize=None)
+    def build(with_f: bool = True):
+        nin = 4 if with_f else 2
+        return pl.pallas_call(
+            functools.partial(kernel, with_f=with_f),
+            out_shape=(
+                jax.ShapeDtypeStruct((x_loc, Y2p), dtype),
+                jax.ShapeDtypeStruct((x_loc, Y2p), dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec(memory_space=pl.ANY)] * nin,
+            out_specs=(
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((2, ext, Y2p), dtype) for _ in range(nin)
+            ]
+            + [
+                pltpu.SemaphoreType.DMA((2, nin)),
+                pltpu.SemaphoreType.DMA((2, 2)),
+            ],
+            interpret=interpret,
+        )
+
+    def chunk(r_ext, b_ext, fr_ext, fb_ext, g0):
+        """(red, black[, fr, fb]) ext halves + traced global row of ext
+        row 0 -> (red, black) OWNED halves, exact after t sweeps."""
+        g0 = jnp.asarray(g0, jnp.int32).reshape(1)
+        if fr_ext is None:
+            return build(False)(g0, r_ext, b_ext)
+        return build(True)(g0, r_ext, b_ext, fr_ext, fb_ext)
+
+    chunk.halo_lo = halo_lo
+    chunk.halo_hi = halo_hi
+    chunk.XE = XE
+    return chunk
+
+
 # --------------------------------------- 2D reduced-system slab kernel
 
 

@@ -146,6 +146,64 @@ def make_sharded_relax(
                 shape=(x_loc,) + tuple(geom.padded_shape[1:]),
             )
 
+    # -- sharded 2D color-split slab engine (VERDICT r3 #2) ---------------
+    # 2D split_update2d levels (Lyapunov — the thesis' biggest-N
+    # benchmark — and 2D Poisson) run each t-sweep chunk as ONE
+    # color-split slab kernel over the shard's extended halves
+    # (relax.make_split_color_slab_2d_shard): ~(2..4)/T + 1 arrays of
+    # HBM per sweep vs the masked-block fallback's ~3.5, with one-sided
+    # stencils exchanging/recomputing only the top halo.  Serial
+    # exchange->chunk schedule, same trapezoid correctness as the 3D
+    # engines.
+    s2d_chunks = None
+    if (
+        use_pallas is not False
+        and nd == 2
+        and not geom.wrap
+        and hasattr(problem, "split_update2d")
+        and hasattr(problem, "kernel_precompute")
+        and not hasattr(problem, "kernel_keep_mask")
+        and x_loc % 8 == 0
+        and geom.padded_shape[1] % 2 == 0
+        and os.environ.get("PDE_MG_SHARD_SPLIT2D", "1") == "1"
+    ):
+        from pde_multigrid_tpu.ops.pallas import dispatch as _pd
+        from pde_multigrid_tpu.ops.pallas import relax as _pr
+
+        _interp2 = not _pd.is_tpu_backend()
+        _offs = tuple(
+            getattr(problem, "split2d_x_offsets", (-1, +1))
+        )
+        s2_halo = -(-2 * T // 8) * 8  # round_up(2T, 8)
+        s2_lo = s2_halo if -1 in _offs else 0
+        s2_hi = s2_halo if +1 in _offs else 0
+        _Y2 = geom.padded_shape[1] // 2
+        _Y2p = -(-_Y2 // 128) * 128
+        # hardware mirrors the single-chip engagement threshold
+        # (SPLIT2D_MIN_Y2: below it the per-leg color conversions
+        # outweigh the halved arithmetic); interpret mode engages at
+        # any size so bitwise-in-tier CPU coverage stays real
+        hw_ok2 = _interp2 or _Y2 >= _pr.SPLIT2D_MIN_Y2
+        fits2 = (
+            _Y2p * 4 * 12 * (8 + s2_lo + s2_hi)
+            <= _pr.SLAB_VMEM_BUDGET
+        )
+        if hw_ok2 and fits2 and x_loc >= s2_halo:
+            _dt2 = jnp.dtype(dtype)
+
+            @functools.lru_cache(maxsize=None)
+            def _s2d_chunk(t: int):
+                return _pr.make_split_color_slab_2d_shard(
+                    problem, geom, _dt2, t, T, x_loc,
+                    interpret=_interp2,
+                )
+
+            s2d_chunks = _s2d_chunk
+            _c2split, _c2merge = _pr.make_color_converters_2d(
+                x_loc, geom.padded_shape[1], _Y2p, _dt2,
+                interpret=_interp2,
+            )
+
     # per-shard Pallas kernel for the T-sweep chunk (the multi-chip hot
     # path analogue of the single-chip resident kernel); under the
     # overlapped schedule it sweeps the halo-free local slab (the edge
@@ -154,7 +212,12 @@ def make_sharded_relax(
         (x_loc,) if do_overlap else (x_loc + 2 * halo,)
     ) + tuple(geom.padded_shape[1:])
     pallas_chunk = None  # masked-block fallback engine
-    if use_pallas is not False and nd >= 2 and ts_chunks is None:
+    if (
+        use_pallas is not False
+        and nd >= 2
+        and ts_chunks is None
+        and s2d_chunks is None
+    ):
         from pde_multigrid_tpu.models.base import ProblemBase
         from pde_multigrid_tpu.ops.pallas import dispatch as _pd
         from pde_multigrid_tpu.ops.pallas import relax as _pr
@@ -255,6 +318,45 @@ def make_sharded_relax(
                 rb = chunk(rb, rem)
             return _cmerge(rb[0], rb[1])
 
+        def local_relax_split2d(v_loc, f_loc):
+            i = lax.axis_index(SHARD_AXIS)
+            g0 = i * x_loc - s2_lo  # global row of ext row 0
+
+            def extend(a):
+                parts = []
+                if s2_lo:
+                    parts.append(
+                        lax.ppermute(a[-s2_lo:], SHARD_AXIS, fwd)
+                    )
+                parts.append(a)
+                if s2_hi:
+                    parts.append(
+                        lax.ppermute(a[:s2_hi], SHARD_AXIS, bwd)
+                    )
+                if len(parts) == 1:
+                    return a
+                return jnp.concatenate(parts, axis=0)
+
+            r, b = _c2split(v_loc)
+            fr, fb = _c2split(f_loc)
+            fr_ext = extend(fr)  # f halos: once per leg (f constant)
+            fb_ext = extend(fb)
+
+            def chunk(rb, t):
+                r, b = rb
+                return s2d_chunks(t)(
+                    extend(r), extend(b), fr_ext, fb_ext, g0
+                )
+
+            rb = (r, b)
+            if n_chunks:
+                rb = lax.fori_loop(
+                    0, n_chunks, lambda _, rb: chunk(rb, T), rb
+                )
+            if rem:
+                rb = chunk(rb, rem)
+            return _c2merge(rb[0], rb[1])
+
         def local_relax_serial(v_loc, f_loc):
             i = lax.axis_index(SHARD_AXIS)
             g0 = i * x_loc - halo  # global row of ext row 0
@@ -343,6 +445,8 @@ def make_sharded_relax(
 
         if ts_chunks is not None:
             local_relax = local_relax_timeskew
+        elif s2d_chunks is not None:
+            local_relax = local_relax_split2d
         else:
             local_relax = (
                 local_relax_overlap if do_overlap else local_relax_serial

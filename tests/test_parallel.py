@@ -274,6 +274,56 @@ def test_sharded_timeskew_bitwise_in_tier(T):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+@pytest.mark.parametrize(
+    "prob,T",
+    [(Lyapunov2D(), 4), (Lyapunov2D(), 2), (Poisson(2), 2)],
+    ids=["lyap-T4", "lyap-T2", "poisson2d-T2"],
+)
+def test_sharded_split2d_bitwise_in_tier(prob, T):
+    """The sharded 2D color-split slab engine (per-shard chunks with
+    round_up(2T,8)-row halos on the x-sides the stencil reads,
+    parallel/halo.py) must reproduce the single-chip split-slab kernel
+    BITWISE across the 8-device mesh, including remainder chunks and
+    both halo configurations (Lyapunov one-sided +1, Poisson symmetric)
+    — VERDICT r3 #2."""
+    import jax.numpy as jnp
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.ops.pallas import relax as R
+    from pde_multigrid_tpu.parallel import halo
+
+    mesh = pmesh.make_mesh(8)
+    n = 257
+    h = Hierarchy.build(
+        prob, n, pad_axis0_to=64, pad_last_to=128, pad_sublane_to=8
+    )
+    lvl, geom = h.levels[0], h.geoms[0]
+    assert geom.padded_shape[0] % (8 * 8) == 0  # x_loc % 8 == 0
+    rng = np.random.default_rng(11)
+    v = (
+        jnp.asarray(
+            rng.standard_normal(geom.padded_shape), jnp.float32
+        )
+        * lvl.aux["m_int"]
+        + lvl.v
+    )
+    f = jnp.asarray(rng.standard_normal(geom.padded_shape), jnp.float32)
+    single = R.make_split_color_slab_2d(
+        prob, geom, jnp.float32, slab_rows=64, sweeps_per_call=T,
+        interpret=True,
+    )
+    fn = halo.make_sharded_relax(
+        prob, geom, mesh, jnp.dtype("float32"), sweeps_per_exchange=T
+    )
+    s = pmesh.level_sharding(mesh, geom)
+    for ns in (T, 2 * T + 1):  # full chunks + a remainder chunk
+        got = np.asarray(
+            fn(jax.device_put(v, s), jax.device_put(f, s), ns)
+        )
+        want = np.asarray(single(v, f, ns))
+        np.testing.assert_array_equal(got, want, err_msg=f"ns={ns}")
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_timeskew_full_solve_matches_masked_block():
     """Full sharded FMG solve: time-skew engine == masked-block fallback
     (PDE_MG_SHARD_TIMESKEW=0) == close to the unsharded solver."""
