@@ -2861,16 +2861,11 @@ def make_split_color_slab_2d_shard(
     halo_hi = halo if +1 in x_offs else 0
     XE = x_loc + halo_lo + halo_hi
     assert x_loc % 8 == 0  # sublane-aligned DMA offsets + even parity
-    # block rows: largest divisor of x_loc whose window fits the same
-    # VMEM cost model as the single-chip kernel
-    half_row = Y2p * 4
-    B = None
-    for cand in (128, 64, 32, 16, 8):
-        ext_c = cand + halo_lo + halo_hi
-        if x_loc % cand == 0 and half_row * 12 * ext_c <= SLAB_VMEM_BUDGET:
-            B = cand
-            break
-    assert B is not None, (x_loc, Y2p)
+    # block rows: largest divisor of x_loc whose window fits the shared
+    # single-chip ladder (VMEM cost model + compile-service window cap)
+    plan2d = split2d_plan((X, Y), x_offs, t=T, x_divides=x_loc)
+    assert plan2d is not None, (x_loc, Y2p)
+    B = plan2d[0]
     ext = B + halo_lo + halo_hi
     nblk = x_loc // B
     ny = geom.shape[1]
@@ -3689,6 +3684,118 @@ SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "256"))
 SPLIT2D_REDUCED = (
     os.environ.get("PDE_MG_SPLIT2D_REDUCED", "0") == "1"
 )
+# Largest (ext-rows x lane-padded-half-width) VMEM window this
+# environment's remote Mosaic compile service accepts for the 2D
+# color-split kernels TODAY.  Empirical boundary (compile probes,
+# 2026-08-20; the service now masks the true Mosaic error behind a
+# broken chipless-AOT fallback that 500s): PASS (128,T8)@2049^2=627K,
+# (64,T8)@4097^2=696,320B; FAIL (128,T16)@2049^2=720K,
+# (64,T16)@4097^2=835K, (96,T8)@4097^2=975K — even though
+# (128,T16)@2049^2 compiled during the round-3 hardware A/B that set
+# SPLIT2D_T=16.  Env-tunable so the cap can be lifted when the compile
+# infra heals (set PDE_MG_SPLIT2D_MAX_WINDOW_KB=1088 to restore the
+# old 16MB-scoped-VMEM-limited ladder).
+SPLIT2D_MAX_WINDOW = (
+    int(os.environ.get("PDE_MG_SPLIT2D_MAX_WINDOW_KB", "680")) * 1024
+)
+
+
+def split2d_plan(
+    padded_shape, x_offsets=(-1, +1), t=None, x_cover=0, x_divides=0
+):
+    """Shared (B, T, ext) ladder for the 2D color-split slab kernels —
+    the ONE place the block-rows/sweeps-per-chunk selection lives, so
+    plan_relax, the sharded engine gate (parallel/halo.py), and the
+    roofline traffic model (utils/roofline.py) cannot desynchronize.
+    x_cover: the blocks must cover at least this many leading rows
+    (single-chip: interior extent — remainder rows carry no interior
+    points).  x_divides: B must divide this extent exactly (sharded:
+    the per-shard owned rows).  Returns None when no block satisfies
+    the VMEM cost model and the compile-service window cap."""
+    X, Y = padded_shape
+    half_row = _round_up(Y // 2, 128) * 4
+    n_sides = len(set(x_offsets))
+    ts = (t,) if t is not None else tuple(
+        dict.fromkeys((SPLIT2D_T, 8, 4))
+    )
+    best = None
+    for B in (128, 64, 32, 16, 8):
+        for T2 in ts:
+            ext = B + n_sides * _round_up(2 * T2, 8)
+            if X < ext:
+                continue
+            if x_cover and (X // B) * B < x_cover:
+                continue
+            if x_divides and x_divides % B:
+                continue
+            if (
+                half_row * 12 * ext > SLAB_VMEM_BUDGET
+                or half_row * ext > SPLIT2D_MAX_WINDOW
+            ):
+                continue
+            # cost = VPU halo redundancy + weighted HBM round trips.
+            # Calibrated against three interleaved hardware A/Bs
+            # (scripts/ab_split2d_t.py): 2049^2 uncapped (128,16) beat
+            # (128,8) by 11% => weight > 1.0; 4097^2 under today's
+            # window cap (64,8) beat (32,16) by 12% => weight < 8.0;
+            # 2049^2 capped (128,8) ~= (64,16) (192.9/194.8 us/nu tie).
+            # weight=2 picks the measured winner in all three.
+            r = ext / B
+            cost = r + 2.0 * (r + 1.0) / T2
+            if best is None or cost < best[0]:
+                best = (cost, B, T2, ext)
+    if best is None:
+        return None
+    return best[1], best[2], best[3]
+
+
+# j-blocked time-skew ring-set budget: 10T+8 sub-planes
+# (hardware-validated incl. (T=4, Bj=128) at 513^3: pipelined
+# 1.25 ms/sweep, 20% over (4, 64))
+TIMESKEW_JB_VMEM_BUDGET = 15 * 2**20
+
+
+def timeskew_plan(shape):
+    """Shared 3D-wrap time-skew engagement gates + (T, Bj) ladder —
+    called by plan_relax AND utils/roofline.py's traffic model so the
+    two cannot desynchronize (ADVICE r3).  Problem-dependent gates
+    (wrap, split_update, keep-mask) stay at the callers.
+
+    Returns ("full", T, 1.0) for the whole-half-plane wavefront,
+    ("jb", T, Bj, halo_factor) for the j-blocked 2.5D variant (whole
+    half-planes bust the rings at 513^3 and up: round_up(2T, 8)-column
+    halos per side), or None.  The 16384-point half-plane threshold:
+    at 129^3 (8K) the trapezoid slab measured FASTER (19-21 vs 31-33
+    us/sweep); at 257^3 (32K) the timeskew wins 2.5x."""
+    Y2 = shape[1] // 2
+    if not (
+        os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
+        and len(shape) == 3
+        and shape[1] % 2 == 0
+        and shape[2] % 128 == 0
+        and Y2 % 8 == 0
+        and shape[0] >= 8
+        and Y2 * shape[2] >= 16384
+    ):
+        return None
+    P = Y2 * shape[2] * 4
+    t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))
+    for T in (t_cap, 6, 4, 2):
+        if T > t_cap or shape[0] < 2 * T:
+            continue
+        if (10 * T + 16) * P <= TIMESKEW_VMEM_BUDGET:
+            return ("full", T, 1.0)
+    for T in (4, 2):
+        if T > t_cap or shape[0] < 2 * T:
+            continue
+        hj = _round_up(2 * T, 8)
+        for Bj in (128, 64, 32):
+            if Y2 % Bj or Y2 < Bj + 2 * hj:
+                continue
+            Pj = tile_padded_bytes((Bj + 2 * hj + 8, shape[2]))
+            if (10 * T + 8) * Pj <= TIMESKEW_JB_VMEM_BUDGET:
+                return ("jb", T, Bj, (Bj + 2 * hj) / Bj)
+    return None
 
 
 def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
@@ -3761,57 +3868,25 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # redundant arithmetic at ~10 B/point per T sweeps — measured 2.5x
     # over the 2D-blocked trapezoid at 257^3 (128-140 vs 345-349
     # us/sweep, numerically identical).  Preferred for every slab-tier
-    # wrap level whose ring set fits VMEM.
+    # wrap level whose ring set fits VMEM.  Engagement gates + the
+    # (T, Bj) ladder live in timeskew_plan — shared with the roofline
+    # traffic model (utils/roofline.py) so they cannot desynchronize.
     if (
         not has_keep
-        and os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
         and geom.wrap
         and len(shape) == 3
         and hasattr(problem, "split_update")
-        and shape[1] % 2 == 0
-        and shape[2] % 128 == 0
-        and (shape[1] // 2) % 8 == 0
-        and shape[0] >= 8
-        # per-plane work must cover the wavefront's per-update fixed
-        # costs: at 129^3 (8K-point half-planes) the trapezoid slab
-        # measured FASTER (19-21 vs 31-33 us/sweep); at 257^3 (32K)
-        # the timeskew wins 2.5x.  Only matters for f32 mode — mixed
-        # precision serves 129^3-class legs via the resident defect
-        # inner anyway.
-        and (shape[1] // 2) * shape[2] >= 16384
     ):
-        P = (shape[1] // 2) * shape[2] * 4
-        t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))
-        for T in (t_cap, 6, 4, 2):
-            if T > t_cap or shape[0] < 2 * T:
-                continue
-            if (10 * T + 16) * P <= TIMESKEW_VMEM_BUDGET:
-                return make_split_timeskew_relax(
-                    problem, geom, dtype, T, interpret=interpret
-                )
-        # j-blocked ("2.5D") fallback: whole half-planes bust the rings
-        # (513^3 and up) — block j with round_up(2T, 8)-column halos.
-        # Hardware-validated at <= 257^3 (12 s compile, correct);
-        # at 513^3 THIS ENVIRONMENT's remote Mosaic compiler hangs on
-        # ANY kernel over the geometry (the trapezoids included), so
-        # 513^3 wall-clock could not be measured here.
-        Y2 = shape[1] // 2
-        for T in (4, 2):
-            if T > t_cap or shape[0] < 2 * T:
-                continue
-            hj = _round_up(2 * T, 8)
-            for Bj in (128, 64, 32):
-                if Y2 % Bj or Y2 < Bj + 2 * hj:
-                    continue
-                # ring-set model: 10T+8 sub-planes (hardware-validated
-                # incl. (T=4, Bj=128) at 513^3: pipelined 1.25 ms/sweep,
-                # 20% over (4, 64))
-                Pj = tile_padded_bytes((Bj + 2 * hj + 8, shape[2]))
-                if (10 * T + 8) * Pj <= 15 * 2**20:
-                    return make_split_timeskew_relax_jb(
-                        problem, geom, dtype, T, Bj,
-                        interpret=interpret,
-                    )
+        ts = timeskew_plan(shape)
+        if ts is not None and ts[0] == "full":
+            return make_split_timeskew_relax(
+                problem, geom, dtype, ts[1], interpret=interpret
+            )
+        if ts is not None and ts[0] == "jb":
+            return make_split_timeskew_relax_jb(
+                problem, geom, dtype, ts[1], ts[2],
+                interpret=interpret,
+            )
     # color-split slab (3D wrap, constant-coefficient): ~half the
     # arithmetic of the dense masked slab.  Cost model: 8 double-buffered
     # half-plane slabs + 2 masks + ~4 roll temps, each ~loc rows.
@@ -3890,35 +3965,32 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
         # (~0.36 ms) outweigh the halved arithmetic on smaller slabs
         and shape[1] // 2 >= SPLIT2D_MIN_Y2
     ):
-        half_row = _round_up(shape[1] // 2, 128) * 4
-        T2 = SPLIT2D_T
-        n_sides = len(
-            {s for s in getattr(problem, "split2d_x_offsets", (-1, 1))}
-        )
         # B=128 hardware-A/B'd at 2049^2: 26.8 vs 29.5 us/sweep over B=64
         # (halo-redundant compute 1.125x vs 1.25x); B=256 busts scoped
-        # VMEM (measured 16.71M > 16M) and the cost model rejects it
+        # VMEM (measured 16.71M > 16M) and the cost model rejects it.
+        # The ladder (incl. the compile-service window cap) lives in
+        # split2d_plan — shared with the sharded gate and roofline model.
         reduced = (
             SPLIT2D_REDUCED
             and hasattr(problem, "reduced2d_fields")
             and tuple(getattr(problem, "split2d_x_offsets", ())) == (1,)
         )
-        for B in (128, 64, 32, 16, 8):
-            ext = B + n_sides * _round_up(2 * T2, 8)
-            if shape[0] < ext:
-                continue
-            if (shape[0] // B) * B < geom.shape[0] - 1:
-                continue
-            if half_row * 12 * ext <= SLAB_VMEM_BUDGET:
-                maker = (
-                    make_split_reduced_slab_2d
-                    if reduced
-                    else make_split_color_slab_2d
-                )
-                return maker(
-                    problem, geom, dtype, B,
-                    sweeps_per_call=T2, interpret=interpret,
-                )
+        plan2d = split2d_plan(
+            shape,
+            getattr(problem, "split2d_x_offsets", (-1, 1)),
+            x_cover=geom.shape[0] - 1,
+        )
+        if plan2d is not None:
+            B, T2, _ = plan2d
+            maker = (
+                make_split_reduced_slab_2d
+                if reduced
+                else make_split_color_slab_2d
+            )
+            return maker(
+                problem, geom, dtype, B,
+                sweeps_per_call=T2, interpret=interpret,
+            )
     if any(d % 8 for d in shape[1:-1]) or shape[-1] % 128:
         return None
     align = 8 if len(shape) == 2 else 1

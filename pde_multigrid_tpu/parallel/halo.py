@@ -184,9 +184,13 @@ def make_sharded_relax(
         # outweigh the halved arithmetic); interpret mode engages at
         # any size so bitwise-in-tier CPU coverage stays real
         hw_ok2 = _interp2 or _Y2 >= _pr.SPLIT2D_MIN_Y2
+        # the shared ladder covers the VMEM cost model, the compile-
+        # service window cap, and x_loc divisibility in one place
         fits2 = (
-            _Y2p * 4 * 12 * (8 + s2_lo + s2_hi)
-            <= _pr.SLAB_VMEM_BUDGET
+            _pr.split2d_plan(
+                tuple(geom.padded_shape), _offs, t=T, x_divides=x_loc
+            )
+            is not None
         )
         if hw_ok2 and fits2 and x_loc >= s2_halo:
             _dt2 = jnp.dtype(dtype)

@@ -73,43 +73,21 @@ def _interior_points(logical_shape: Sequence[int]) -> int:
 
 
 def _timeskew_params(shape, split_caps: bool):
-    """Mirror plan_relax's 3D-wrap time-skew engagement gates
-    (ops/pallas/relax.py): returns (T, halo_factor) when a time-skew
-    tier engages at this geometry, else None."""
-    import os
-
+    """3D-wrap time-skew engagement for the traffic model: delegates to
+    the SAME relax.timeskew_plan that plan_relax uses (ADVICE r3: the
+    gates/ladder used to be hand-duplicated here and could silently
+    desynchronize from the tier that actually runs).  Returns
+    (T, halo_factor) when a time-skew tier engages, else None."""
     from pde_multigrid_tpu.ops.pallas import relax as _relax
 
-    Y2 = shape[1] // 2
-    if not (
-        split_caps
-        and os.environ.get("PDE_MG_TIMESKEW", "1") == "1"
-        and shape[1] % 2 == 0
-        and shape[2] % 128 == 0
-        and Y2 % 8 == 0
-        and shape[0] >= 8
-        and Y2 * shape[2] >= 16384
-    ):
+    if not split_caps:
         return None
-    P = Y2 * shape[2] * 4
-    t_cap = int(os.environ.get("PDE_MG_TIMESKEW_T", "8"))
-    for T in (t_cap, 6, 4, 2):
-        if T > t_cap or shape[0] < 2 * T:
-            continue
-        if (10 * T + 16) * P <= _relax.TIMESKEW_VMEM_BUDGET:
-            return T, 1.0
-    # j-blocked fallback: round_up(2T, 8)-column halos per side
-    for T in (4, 2):
-        if T > t_cap or shape[0] < 2 * T:
-            continue
-        hj = -(-2 * T // 8) * 8
-        for Bj in (128, 64, 32):
-            if Y2 % Bj or Y2 < Bj + 2 * hj:
-                continue
-            Pj = _relax.tile_padded_bytes((Bj + 2 * hj + 8, shape[2]))
-            if (10 * T + 8) * Pj <= 15 * 2**20:
-                return T, (Bj + 2 * hj) / Bj
-    return None
+    ts = _relax.timeskew_plan(tuple(shape))
+    if ts is None:
+        return None
+    if ts[0] == "full":
+        return ts[1], ts[2]
+    return ts[1], ts[3]
 
 
 def relax_traffic(
@@ -158,17 +136,24 @@ def relax_traffic(
     elif geom.ndim == 2:
         from pde_multigrid_tpu.ops.pallas import relax as _relax
 
-        if (
-            split_caps
-            and not getattr(geom, "wrap", False)
-            and shape[1] % 2 == 0
-            and shape[0] % 8 == 0
-            and shape[1] // 2 >= _relax.SPLIT2D_MIN_Y2
-        ):
+        plan2d = (
+            _relax.split2d_plan(tuple(shape), (+1,))
+            if (
+                split_caps
+                and not getattr(geom, "wrap", False)
+                and shape[1] % 2 == 0
+                and shape[0] % 8 == 0
+                and shape[1] // 2 >= _relax.SPLIT2D_MIN_Y2
+            )
+            else None
+        )
+        if plan2d is not None:
             # 2D color-split slab (relax.make_split_color_slab_2d):
-            # SPLIT2D_T sweeps per HBM round trip, one-sided ~1.125x halo
+            # T sweeps per HBM round trip with an ext/B one-sided halo
+            # read factor, from the SAME ladder plan_relax uses
+            B2, T2, ext2 = plan2d
             per_sweep = (
-                arr_bytes * (n_reads * 1.125 + 1) / _relax.SPLIT2D_T
+                arr_bytes * (n_reads * ext2 / B2 + 1) / T2
             )
         else:
             # dense 2D slab (make_slab_relax, T=4, 8-row halos, B=64)
