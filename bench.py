@@ -49,9 +49,10 @@ PROBLEM_DEFAULTS = {
     "ode1d": dict(n=8193, nu=1000),
     "lyapunov2d": dict(n=2049, nu=100),
     "hjb2d": dict(n=513, nu=30),
-    # Galerkin showcase: 257^2 rides the resident stencil-operator
-    # kernel (ops/pallas/stencilop.py) at every level
-    "varcoef2d": dict(n=257, nu=20),
+    # Galerkin showcase at a size whose finest levels are NOT resident:
+    # 1025^2 rides the streaming slab stencil-operator kernel on L0/L1
+    # and the resident kernel below (ops/pallas/stencilop.py)
+    "varcoef2d": dict(n=1025, nu=40),
 }
 
 
@@ -268,7 +269,7 @@ THESIS_MATRIX = [
     dict(problem="lyapunov2d", n=4097, nu=500, nu0=2, reps=6),
     dict(problem="ode1d", n=8193, nu=1000, nu0=2, reps=30),
     dict(problem="hjb2d", n=513, nu=30, nu0=2, reps=10),
-    dict(problem="varcoef2d", n=257, nu=20, nu0=2, reps=10),
+    dict(problem="varcoef2d", n=1025, nu=40, nu0=2, reps=8),
 ]
 
 
@@ -546,9 +547,13 @@ def _measure_one(args, tag="", check=True):
             or hasattr(problem, "split_update2d")
             or problem.ndim == 1
         ),
+        # Galerkin levels stream K stencil-coefficient fields
+        stencil_k=(3 ** problem.ndim) if galerkin else None,
     )
     t_hbm = model_bytes / (roofline.DEFAULT_HBM_GBPS * 1e9)
-    t_vpu = updates / roofline.vpu_bound_updates_per_s(ndim)
+    t_vpu = updates / roofline.vpu_bound_updates_per_s(
+        ndim, stencil_k=(3 ** ndim) if galerkin else None
+    )
     t_bound = max(t_hbm, t_vpu)
     which = "VPU-arithmetic" if t_vpu > t_hbm else "HBM-traffic"
     print(

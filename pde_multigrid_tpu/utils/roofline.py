@@ -39,8 +39,15 @@ VPU_F32_OPS_PER_S = 4 * 8 * 128 * 0.94e9
 SPLIT_OPS_PER_UPDATE = {3: 20, 2: 14, 1: 8}
 
 
-def vpu_bound_updates_per_s(ndim: int) -> float:
-    """VPU-arithmetic-bound smoother updates/s for VMEM-resident sweeps."""
+def vpu_bound_updates_per_s(ndim: int, stencil_k: int | None = None) -> float:
+    """VPU-arithmetic-bound smoother updates/s for VMEM-resident sweeps.
+
+    stencil_k: implicit-stencil (Galerkin) levels run the dense
+    two-pass gs kernel — per color pass, (K-1) multiply-subtract pairs
+    + a ~7-op divide + a 3-op masked blend, with both colors computed
+    everywhere: ops/update ~ 2*(2*(K-1) + 10)."""
+    if stencil_k is not None:
+        return VPU_F32_OPS_PER_S / (2 * (2 * (stencil_k - 1) + 10))
     return VPU_F32_OPS_PER_S / SPLIT_OPS_PER_UPDATE.get(ndim, 20)
 
 
@@ -99,6 +106,7 @@ def relax_traffic(
     slab_block_rows: int = 16,
     f_zero: bool = False,
     split_caps: bool = True,
+    stencil_k: int | None = None,
 ) -> LevelTraffic:
     """HBM-traffic model of one relax leg at one level.
 
@@ -117,6 +125,45 @@ def relax_traffic(
     resident = arr_bytes * 7 <= resident_budget
     n_reads = 1 if f_zero else 2
     shape = tuple(geom.padded_shape)
+    if stencil_k is not None:
+        # implicit-stencil (Galerkin/varcoef) levels: K coefficient
+        # fields ride every stream.  Mirror plan_stencil_relax's tier
+        # selection (ops/pallas/stencilop.py).
+        from pde_multigrid_tpu.ops.pallas import relax as _relax
+        from pde_multigrid_tpu.ops.pallas import stencilop as _sop
+
+        K = stencil_k
+        res_st = (
+            _relax.tile_padded_bytes(shape if len(shape) > 1 else (1,) + shape)
+            * (K + 8)
+            <= _relax.RESIDENT_VMEM_BUDGET
+        )
+        if res_st:
+            # one round trip of v, f, K coeffs, 2 masks in + v out
+            per_sweep = (K + 5) * arr_bytes / max(sweeps, 1)
+        else:
+            plan = (
+                _sop.stencil_slab2d_params(shape, shape[0] - 2, K)
+                if len(shape) == 2
+                else None
+            )
+            if plan is not None:
+                Bs, Ts, exts = plan
+                per_sweep = (
+                    arr_bytes * ((K + 2) * exts / Bs + 1) / Ts
+                )
+            else:
+                # jnp tier: v, f, K coeffs re-read per color pass + 2
+                # whole-array writes per sweep
+                per_sweep = (2 * (K + 2) + 2) * arr_bytes
+        return LevelTraffic(
+            level=-1,
+            stored_points=stored,
+            interior_points=_interior_points(geom.shape),
+            resident=res_st,
+            bytes_per_sweep=per_sweep,
+            sweeps=sweeps,
+        )
     ts = (
         _timeskew_params(shape, split_caps)
         if (not resident and getattr(geom, "wrap", False) and geom.ndim == 3)
@@ -182,6 +229,7 @@ def cycle_traffic_model(
     precision: str = "f32",
     rhs_zero: bool = False,
     split_caps: bool = True,
+    stencil_k: int | None = None,
 ):
     """Per-level relax-leg counts and traffic for a V/FMG schedule (the
     transfer ops add one ~3-array pass per instance — folded in as a
@@ -224,7 +272,8 @@ def cycle_traffic_model(
             from pde_multigrid_tpu.ops.pallas import defect as _defect
 
             t = relax_traffic(
-                g, nu, dtype_size, f_zero=f_zero, split_caps=split_caps
+                g, nu, dtype_size, f_zero=f_zero, split_caps=split_caps,
+                stencil_k=stencil_k,
             )
             t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
             if (
