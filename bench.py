@@ -139,9 +139,10 @@ def main():
         "--chain-reps",
         choices=["auto", "on", "off"],
         default="auto",
-        help="run reps as one in-jit fori chain (auto: off at 513^3-"
-        "class sizes, where this environment's remote compiler hangs "
-        "on fori around the step's pallas calls)",
+        help="run reps as one in-jit fori chain (auto: try fori "
+        "first everywhere — the round-3 fori-around-pallas compiler "
+        "hang at 513^3 is gone, and compiles carry a SIGALRM "
+        "deadline so a regression degrades to the next mode)",
     )
     ap.add_argument(
         "--matrix",
@@ -404,16 +405,33 @@ def _measure_one(args, tag="", check=True):
 
     # three chaining modes, best-of-2 timed passes each:
     #   fori    — dynamic-trip in-jit chain (one dispatch for all reps)
-    #   unroll  — K statically unrolled steps per jit call: the remote
-    #             Mosaic compiler hangs on a fori wrapped AROUND the
-    #             step's pallas calls at 513^3-class geometry, but a
-    #             straight-line K-step program compiles (VERDICT r2 #6)
+    #   unroll  — K statically unrolled steps per jit call (fallback:
+    #             through round 3 the remote Mosaic compiler hung on a
+    #             fori wrapped AROUND the step's pallas calls at
+    #             513^3-class geometry; the round-4 compile service
+    #             compiles it, and _compile_guard turns any future
+    #             hang into a fast fallback instead of a stall)
     #   percall — one dispatch per step (last resort)
     modes = ["fori", "unroll", "percall"]
     if args.chain_reps == "off":
         modes = ["percall"]
-    elif args.chain_reps == "auto" and problem.ndim == 3 and args.n >= 513:
-        modes = ["unroll", "percall"]
+
+    import signal
+
+    def compile_guarded(lowered, seconds=300):
+        """Compile with a SIGALRM deadline: a hung remote compile
+        raises instead of stalling the whole bench run."""
+
+        def on_alarm(signum, frame):
+            raise TimeoutError(f"compile exceeded {seconds}s")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(seconds)
+        try:
+            return lowered.compile()
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
 
     n_steps = args.reps
     for mode in modes:
@@ -422,9 +440,11 @@ def _measure_one(args, tag="", check=True):
         t0 = time.perf_counter()
         try:
             if mode == "fori":
-                compiled = jax.jit(chained, donate_argnums=0).lower(
-                    levels, jnp.int32(1)
-                ).compile()
+                compiled = compile_guarded(
+                    jax.jit(chained, donate_argnums=0).lower(
+                        levels, jnp.int32(1)
+                    )
+                )
                 compile_s = time.perf_counter() - t0
                 # warmup: first execution includes lazy backend setup
                 # (levels is donated; thread the returned state through)
@@ -448,9 +468,9 @@ def _measure_one(args, tag="", check=True):
                         out = bench_step(out[0])
                     return out
 
-                compiled = jax.jit(
-                    chained_k, donate_argnums=0
-                ).lower(levels).compile()
+                compiled = compile_guarded(
+                    jax.jit(chained_k, donate_argnums=0).lower(levels)
+                )
                 compile_s = time.perf_counter() - t0
                 lv, l2, _ = compiled(levels)
                 levels = None
@@ -464,7 +484,7 @@ def _measure_one(args, tag="", check=True):
                     chain_times.append(time.perf_counter() - t0)
                 n_steps = reps_eff * K
             else:
-                compiled = step.lower(levels).compile()
+                compiled = compile_guarded(step.lower(levels))
                 compile_s = time.perf_counter() - t0
                 lv, l2, _ = compiled(levels)
                 levels = None
