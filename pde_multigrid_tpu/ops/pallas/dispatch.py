@@ -57,6 +57,12 @@ class PallasKernels(JnpKernels):
         self._rr = [None] * n
         self._restrict = [None] * n
         self._pb = [{} for _ in range(n)]
+        # XLA-level MXU pick-matrix transfers for big wrap-3D pairs the
+        # fused kernels' VMEM stack rejects (512^3+: the jnp tier's
+        # reshape-split subsample relayouts cost 26.8 ms/restrict there
+        # — VERDICT r3 #6)
+        self._xla_restrict = [None] * n
+        self._xla_prolong = [None] * n
         self._res = [
             transfer_mod.make_residual(problem, g, dtype, interpret=interpret)
             for g in geoms
@@ -75,6 +81,15 @@ class PallasKernels(JnpKernels):
                         subtree_mod.make_small_prolong_blend(
                             gc, gf, dtype, mode, interpret=interpret
                         )
+                    )
+                if self._restrict[l] is None and transfer_mod.xla_pair_ok(
+                    gf, gc
+                ):
+                    self._xla_restrict[l] = transfer_mod.make_xla_restrict(
+                        gf, gc, dtype
+                    )
+                    self._xla_prolong[l] = transfer_mod.make_xla_prolong(
+                        gc, gf, dtype
                     )
                 continue
             self._rr[l] = transfer_mod.make_residual_restrict(
@@ -107,6 +122,18 @@ class PallasKernels(JnpKernels):
         if fn is None:
             return super().residual(l, v, f, aux)
         return fn(v, v, v, f)
+
+    def restrict(self, l_fine, arr, m_int_coarse, m_log_coarse):
+        fn = self._xla_restrict[l_fine]
+        if fn is not None:
+            return fn(arr, m_int_coarse, m_log_coarse)
+        return super().restrict(l_fine, arr, m_int_coarse, m_log_coarse)
+
+    def prolong(self, l_fine, arr):
+        fn = self._xla_prolong[l_fine]
+        if fn is not None:
+            return fn(arr)
+        return super().prolong(l_fine, arr)
 
     # -- fused subtree hooks (cycles.CycleProgram consults these) ----------
 

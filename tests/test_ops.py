@@ -272,3 +272,38 @@ def test_set_interior():
     m = jnp.asarray(interior_mask((5,)), jnp.float32)
     out = np.asarray(stencil.set_interior(v, 0.0, m))
     np.testing.assert_allclose(out, [7.0, 0.0, 0.0, 0.0, 7.0])
+
+
+def test_xla_mxu_transfers_match_jnp_tier_wrap3d():
+    """XLA-level MXU pick-matrix transfers (ops/pallas/transfer.py::
+    make_xla_restrict / make_xla_prolong) == the jnp tier on wrap-3D
+    pairs.  These serve 512^3-and-up level pairs where the fused Pallas
+    transfer kernels' VMEM stack busts and the jnp tier's reshape-split
+    subsample relayouts cost ~10x roofline (26.8 ms/restrict at 512^3,
+    VERDICT r3 #6); Precision.HIGHEST keeps them f32-accurate (the
+    kernels' hi/lo-split trick gets algebraically merged away by XLA —
+    measured bf16-sized errors — so it cannot be used here)."""
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.models import Poisson
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    prob = Poisson(3)
+    h = Hierarchy.build(prob, 33, wrap=True)
+    g0, g1 = h.geoms[0], h.geoms[1]
+    aux1 = h.levels[1].aux
+    assert T.xla_pair_ok(g0, g1) is False  # gate: MXU-worthy sizes only
+    rng = np.random.default_rng(9)
+    a = jnp.asarray(rng.standard_normal(g0.padded_shape), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(g1.padded_shape), jnp.float32)
+    xr = T.make_xla_restrict(g0, g1, jnp.float32)
+    got = np.asarray(xr(a, aux1["m_int"], aux1["m_log"]))
+    want = np.asarray(
+        stencil.restrict_full_weighting(a, aux1["m_int"], aux1["m_log"])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    xp = T.make_xla_prolong(g1, g0, jnp.float32)
+    got = np.asarray(xp(c))
+    want = np.asarray(
+        stencil.prolong_linear(c, g0.padded_shape, periodic=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
