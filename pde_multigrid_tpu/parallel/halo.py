@@ -469,6 +469,16 @@ def make_sharded_relax(
     def relax(v, f, nsweeps: int):
         return build(nsweeps)(v, f)
 
+    # introspection marker (dryrun/test assertions, debugging)
+    relax.engine = (
+        "timeskew"
+        if ts_chunks is not None
+        else "split2d"
+        if s2d_chunks is not None
+        else "masked-block"
+        if pallas_chunk is not None
+        else "jnp"
+    )
     return relax
 
 
