@@ -510,7 +510,7 @@ def make_xla_restrict(geom_f: LevelGeometry, geom_c: LevelGeometry, dtype):
     contractions (the same _restrict_mat/_inject_mat the fused kernels
     use), f32-accurate via hi/lo splitting.  Semantics == the jnp tier
     (inject + m_int*(smoothed - inject), masked by m_log) up to f32
-    summation order.  Measured 26.8 -> 3.2 ms/op at 512^3."""
+    summation order.  Measured 26.8 -> 10.9 ms/op at 512^3."""
     X, Y, Z = geom_f.padded_shape
     Xc, Yc, Zc = geom_c.padded_shape
     myr = jnp.asarray(_restrict_mat(Y).T.copy())  # (Yc, Y)
@@ -556,7 +556,7 @@ def make_xla_prolong(geom_c: LevelGeometry, geom_f: LevelGeometry, dtype):
     x-interleave via stack+reshape (major dim, free), y/z linear
     upsample as _prolong_mat MXU contractions.  Semantics ==
     stencil.prolong_linear(periodic=True) up to f32 summation order.
-    Measured 10.1 -> 2.3 ms/op at 512^3 (see make_xla_restrict)."""
+    Measured 10.1 -> 2.6 ms/op at 512^3 (see make_xla_restrict)."""
     Xc, Yc, Zc = geom_c.padded_shape
     pyp = jnp.asarray(_prolong_mat(Yc))  # (Yc, Y)
     pzp = jnp.asarray(_prolong_mat(Zc))  # (Zc, Z)
