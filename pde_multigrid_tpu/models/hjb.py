@@ -114,6 +114,20 @@ class HJBMinTime(ProblemBase):
         self.domain = tuple(tuple(d) for d in domain)
         self.scheme = scheme
         self.pin_radius_cells = float(pin_radius_cells)
+        # color-split tier default OFF (PDE_MG_HJB_SPLIT2D=1 enables):
+        # the hardware A/B at the 513^2 bench config LOST — whole-step
+        # slope 76.5 vs 71.6 us/nu interleaved — because the two-sided
+        # round_up(2T,8)-row halos make the split ~1.5x-redundant while
+        # the dense tier's both-colors waste is only 2x, and the
+        # per-leg color conversions add ~0.45 ms fixed.  The kernel
+        # path stays tested (test_hjb_kernel_tier_matches_jnp) for
+        # larger grids where the halo share shrinks.
+        import os
+
+        if scheme != "upwind" or (
+            os.environ.get("PDE_MG_HJB_SPLIT2D", "0") != "1"
+        ):
+            self.split2d_x_offsets = None  # veto the color-split tier
 
     # -- oracle / data ------------------------------------------------------
 
@@ -246,6 +260,26 @@ class HJBMinTime(ProblemBase):
             "inv_in": (1.0 / (1.0 + c1)).astype(dtype),
             "inv_act": (1.0 / (1.0 + c1 + c2)).astype(dtype),
         }
+
+    # color-split slab tier (relax.make_split_color_slab_2d): the
+    # upwind scheme reads x+-1 (side-selected by sign(x2)) and y+-1,
+    # all of the opposite color — expressible through the nbr callback.
+    # The pinned target ball enters through kernel_keep_mask, which the
+    # split kernel applies per color (keep-mask support, round 4).
+    # __init__ sets split2d_x_offsets = None for the "tesi" scheme
+    # (documented-divergent; stays on the dense tiers).
+    split2d_x_offsets = (-1, +1)
+
+    def split_update2d(self, nbr, f, pre, geom: LevelGeometry):
+        s1 = pre["s1"]
+        nb1 = s1 * nbr(0, +1) + (1.0 - s1) * nbr(0, -1)
+        m2 = jnp.minimum(nbr(1, +1), nbr(1, -1))
+        c1 = pre["c1"]
+        c2 = jnp.asarray(1.0 / geom.spacing[1], nb1.dtype)
+        base = f + c1 * nb1
+        w_in = base * pre["inv_in"]
+        w_act = (base + c2 * m2) * pre["inv_act"]
+        return jnp.where(w_in <= m2, w_in, w_act)
 
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # spatial axes are the LAST geom.ndim axes of v inside kernels

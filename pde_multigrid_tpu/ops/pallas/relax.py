@@ -2552,7 +2552,9 @@ def make_split_color_slab_2d(
     Y2p = _round_up(Y2, 128)
     B = slab_rows
     T = sweeps_per_call
-    x_offs = tuple(getattr(problem, "split2d_x_offsets", (-1, +1)))
+    x_offs = tuple(
+        getattr(problem, "split2d_x_offsets", None) or (-1, +1)
+    )  # None = plan-level veto only; direct makers use the default
     # OFF by default: hardware A/B (2049^2 L0 leg, interleaved) measured
     # jnp.where ~15-25% SLOWER than the f32 mask blend on the v5e VPU
     # (28.6-32.4 vs 36.3-36.6 us/sweep, bitwise-identical results)
@@ -2692,6 +2694,21 @@ def make_split_color_slab_2d(
             pre_b = problem.kernel_precompute(
                 (xf, yf(y_b)), geom, dtype
             )
+            # keep-mask hook (HJB's pinned target ball): extra
+            # never-update points beyond the geometric boundary,
+            # evaluated per color at the color's own coordinates
+            # (round 4 — previously keep-mask problems were excluded
+            # from the split tiers entirely)
+            keep_fn = getattr(problem, "kernel_keep_mask", None)
+            if keep_fn is not None:
+                k_r = keep_fn((xf, yf(y_r)), geom, dtype)
+                k_b = keep_fn((xf, yf(y_b)), geom, dtype)
+                if use_sel:
+                    m_r = m_r & (k_r > 0)
+                    m_b = m_b & (k_b > 0)
+                else:
+                    m_r = m_r * k_r
+                    m_b = m_b * k_b
             r, b = rvb[slot], bvb[slot]
             fr, fb = (rfb[slot], bfb[slot]) if with_f else (None, None)
             if use_fold:
@@ -2851,7 +2868,9 @@ def make_split_color_slab_2d_shard(
     T = halo_sweeps
     t_here = sweeps_per_call
     assert 1 <= t_here <= T
-    x_offs = tuple(getattr(problem, "split2d_x_offsets", (-1, +1)))
+    x_offs = tuple(
+        getattr(problem, "split2d_x_offsets", None) or (-1, +1)
+    )  # None = plan-level veto only; direct makers use the default
     use_sel = os.environ.get("PDE_MG_RBGS_SELECT", "0") == "1"
     use_fold = (
         os.environ.get("PDE_MG_SPLIT2D_FOLD", "1") == "1" and not use_sel
@@ -3952,13 +3971,17 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
     # halos must all be 8-aligned (see make_slab_relax).
     # 2D color-split slab (padded storage): ~half the arithmetic of the
     # dense masked update — and for one-sided stencils (Lyapunov) the
-    # dense update is so cheap that the discarded half DOMINATES
+    # dense update is so cheap that the discarded half DOMINATES.
+    # Keep-mask problems (HJB's pinned ball) are allowed since round 4:
+    # the kernel applies kernel_keep_mask per color in-kernel.  A
+    # problem can veto per instance with split2d_x_offsets = None
+    # (HJB's documented-divergent "tesi" scheme).
     if (
         len(shape) == 2
-        and not has_keep
         and not geom.wrap
         and hasattr(problem, "split_update2d")
         and hasattr(problem, "kernel_precompute")
+        and getattr(problem, "split2d_x_offsets", (-1, 1)) is not None
         and shape[1] % 2 == 0
         and shape[0] % 8 == 0
         # big levels only: the per-leg XLA split/merge conversions

@@ -163,6 +163,7 @@ def make_sharded_relax(
         and hasattr(problem, "split_update2d")
         and hasattr(problem, "kernel_precompute")
         and not hasattr(problem, "kernel_keep_mask")
+        and getattr(problem, "split2d_x_offsets", (-1, 1)) is not None
         and x_loc % 8 == 0
         and geom.padded_shape[1] % 2 == 0
         and os.environ.get("PDE_MG_SHARD_SPLIT2D", "1") == "1"

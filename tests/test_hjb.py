@@ -290,6 +290,9 @@ def test_hjb_kernel_tier_matches_jnp():
         # keep-mask hook too (regression: pinned ball was updated there,
         # wrecking the 513^2 bench solve)
         ("upwind", "slab"),
+        # the color-split slab applies kernel_keep_mask per color
+        # in-kernel (round 4: HJB's split_update2d tier)
+        ("upwind", "split"),
     ):
         prob = HJBMinTime(scheme=scheme)
         h = Hierarchy.build(prob, 33, pad_last_to=128, pad_sublane_to=8)
@@ -297,6 +300,11 @@ def test_hjb_kernel_tier_matches_jnp():
         if tier == "slab":
             fn = R.make_slab_relax(
                 prob, geom, jnp.float32, 8, 4, interpret=True
+            )
+        elif tier == "split":
+            fn = R.make_split_color_slab_2d(
+                prob, geom, jnp.float32, 8, sweeps_per_call=4,
+                interpret=True,
             )
         else:
             fn = R.make_resident_relax(
