@@ -870,3 +870,56 @@ def test_pallas_2d_color_converters_bitwise():
         )
         v_k = mc(r_k, b_k, u0, u1)
         np.testing.assert_array_equal(np.asarray(v_k), np.asarray(v))
+
+
+def test_xla_transfer_routing_when_fused_kernels_reject(monkeypatch):
+    """PallasKernels must route restrict/prolong through the XLA MXU
+    pick-matrix path when neither the fused nor the small resident
+    transfer kernels engage (the 512^3 situation, which no CPU-sized
+    test can reach directly — simulated by forcing the gates)."""
+    import numpy as np
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.models import Poisson
+    from pde_multigrid_tpu.ops import stencil
+    from pde_multigrid_tpu.ops.pallas import dispatch as D
+    from pde_multigrid_tpu.ops.pallas import subtree as sub
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    monkeypatch.setattr(T, "planner_ok", lambda gf, gc: False)
+    monkeypatch.setattr(
+        sub, "make_small_restrict", lambda *a, **k: None
+    )
+    monkeypatch.setattr(
+        sub, "make_small_prolong_blend", lambda *a, **k: None
+    )
+    monkeypatch.setattr(
+        T, "xla_pair_ok",
+        lambda gf, gc: gf.wrap and gc.wrap and gf.ndim == 3,
+    )
+    prob = Poisson(3)
+    h = Hierarchy.build(prob, 33, wrap=True)
+    ker = D.PallasKernels(prob, h.geoms, jnp.float32, interpret=True)
+    assert ker._xla_restrict[0] is not None
+    assert ker._xla_prolong[0] is not None
+    rng = np.random.default_rng(4)
+    a = jnp.asarray(
+        rng.standard_normal(h.geoms[0].padded_shape), jnp.float32
+    )
+    aux1 = h.levels[1].aux
+    got = np.asarray(
+        ker.restrict(0, a, aux1["m_int"], aux1["m_log"])
+    )
+    want = np.asarray(
+        stencil.restrict_full_weighting(a, aux1["m_int"], aux1["m_log"])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    c = jnp.asarray(
+        rng.standard_normal(h.geoms[1].padded_shape), jnp.float32
+    )
+    got = np.asarray(ker.prolong(0, c))
+    want = np.asarray(
+        stencil.prolong_linear(
+            c, h.geoms[0].padded_shape, periodic=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
