@@ -205,9 +205,27 @@ def main():
     #      HTTP-500 burst) get ONE end-of-matrix retry pass;
     #   4. the consolidated summary — flagship metric + every row —
     #      prints LAST on stdout, and is what the driver records.
+    # Every row runs under a hard SIGALRM deadline: the tunnel has been
+    # observed fully down for ~30-minute stretches, and a hang anywhere
+    # (backend init, compile, execution) must cost one row — retried at
+    # the end — not the driver's whole bench budget.
+    import signal
+
+    def measure_deadline(a, tag="", seconds=1500):
+        def on_alarm(signum, frame):
+            raise TimeoutError(f"row exceeded {seconds}s deadline")
+
+        old = signal.signal(signal.SIGALRM, on_alarm)
+        signal.alarm(seconds)
+        try:
+            return measure(a, tag) if tag else measure(a)
+        finally:
+            signal.alarm(0)
+            signal.signal(signal.SIGALRM, old)
+
     headline = None
     try:
-        headline = measure(args)
+        headline = measure_deadline(args)
         print(json.dumps(headline), flush=True)
     except Exception as e:  # noqa: BLE001
         print(
@@ -222,7 +240,7 @@ def main():
             for row, attempt in queue:
                 a = argparse.Namespace(**{**base, **row})
                 try:
-                    rec = measure(a, tag="thesis")
+                    rec = measure_deadline(a, tag="thesis")
                     rows.append(rec)
                     print(
                         "[bench] row " + json.dumps(rec),
@@ -239,7 +257,7 @@ def main():
                         retry.append((row, 1))
     if headline is None:
         try:  # end-of-run retry for the flagship itself
-            headline = measure(args)
+            headline = measure_deadline(args)
         except Exception as e:  # noqa: BLE001
             print(
                 f"[bench] headline retry failed: {str(e)[:200]}",
@@ -422,18 +440,25 @@ def _measure_one(args, tag="", check=True):
 
     def compile_guarded(lowered, seconds=300):
         """Compile with a SIGALRM deadline: a hung remote compile
-        raises instead of stalling the whole bench run."""
+        raises instead of stalling the whole bench run.  Restores any
+        OUTER alarm (main() wraps whole rows in a deadline — a single
+        process-wide timer) with its remaining time."""
 
         def on_alarm(signum, frame):
             raise TimeoutError(f"compile exceeded {seconds}s")
 
         old = signal.signal(signal.SIGALRM, on_alarm)
-        signal.alarm(seconds)
+        outer_remaining = signal.alarm(seconds)
+        t0 = time.time()
         try:
             return lowered.compile()
         finally:
             signal.alarm(0)
             signal.signal(signal.SIGALRM, old)
+            if outer_remaining:
+                signal.alarm(
+                    max(1, int(outer_remaining - (time.time() - t0)))
+                )
 
     n_steps = args.reps
     for mode in modes:
