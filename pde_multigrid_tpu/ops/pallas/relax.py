@@ -229,9 +229,24 @@ def make_split_resident_relax_1d(
     assert N % 2 == 0
     N2 = N // 2
     n = geom.shape[0]
+    # 2D (R, C) layout for the halves (flat half index i = row*C + col):
+    # a (1, N2) single-sublane value occupies one vreg per 128 lanes at
+    # 1/8 occupancy — reshaping to full (8, 128) tiles cuts the VPU op
+    # count ~8x.
+    # The only layout cost is black's east neighbor (red at flat i+1):
+    # a lane roll within the row plus, at the row's last lane, the next
+    # row's column 0 — one (R, 1)-broadcast select per sweep.  Reads
+    # that wrap past the final row land on zero padding or the stored
+    # boundary, on points the masks exclude (same argument as the old
+    # lane-wrap layout).
+    C = min(N2, 128)
+    R = -(-N2 // C)
+    N2p = R * C
 
     def kernel(r_ref, b_ref, fr_ref, fb_ref, ro_ref, bo_ref, *, nsweeps):
-        ii = lax.broadcasted_iota(jnp.int32, (1, N2), 1)
+        ri = lax.broadcasted_iota(jnp.int32, (R, C), 0)
+        ci = lax.broadcasted_iota(jnp.int32, (R, C), 1)
+        ii = ri * C + ci
         lo, hi = geom.domain[0]
         h = jnp.asarray(geom.spacing[0], dtype)
         x0 = jnp.asarray(geom.origin[0], dtype)
@@ -245,15 +260,22 @@ def make_split_resident_relax_1d(
         pre_b = problem.kernel_precompute((coords(g_b),), geom, dtype)
         m_r = ((g_r >= 1) & (g_r <= n - 2)).astype(dtype)
         m_b = (g_b <= n - 2).astype(dtype)  # odd index is always >= 1
+        last = (ci == C - 1)
         fr, fb = fr_ref[:], fb_ref[:]
+
+        def east_of(r):
+            # red at flat i+1: lane roll, next-row col 0 at the seam
+            return jnp.where(
+                last,
+                jnp.roll(r, -1, 0)[:, 0:1],
+                jnp.roll(r, -1, 1),
+            )
 
         def one_sweep(_, rb):
             r, b = rb
             upd = problem.split_update1d(b, fr, pre_r, geom)
             r = r + m_r * (upd - r)
-            upd = problem.split_update1d(
-                jnp.roll(r, -1, 1), fb, pre_b, geom
-            )
+            upd = problem.split_update1d(east_of(r), fb, pre_b, geom)
             b = b + m_b * (upd - b)
             return r, b
 
@@ -268,8 +290,8 @@ def make_split_resident_relax_1d(
         return pl.pallas_call(
             functools.partial(kernel, nsweeps=nsweeps),
             out_shape=(
-                jax.ShapeDtypeStruct((1, N2), dtype),
-                jax.ShapeDtypeStruct((1, N2), dtype),
+                jax.ShapeDtypeStruct((R, C), dtype),
+                jax.ShapeDtypeStruct((R, C), dtype),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
             out_specs=(
@@ -279,14 +301,22 @@ def make_split_resident_relax_1d(
             interpret=interpret,
         )
 
+    def _half(a):
+        if N2p != N2:
+            a = jnp.pad(a, (0, N2p - N2))
+        return a.reshape(R, C)
+
     def relax(v, f, nsweeps: int, f_zero: bool = False):
         assert not f_zero
         v2 = v.reshape(N2, 2)
         f2 = f.reshape(N2, 2)
         r, b = build(nsweeps)(
-            v2[:, 0][None], v2[:, 1][None], f2[:, 0][None], f2[:, 1][None]
+            _half(v2[:, 0]), _half(v2[:, 1]),
+            _half(f2[:, 0]), _half(f2[:, 1]),
         )
-        return jnp.stack([r[0], b[0]], axis=1).reshape(N)
+        r = r.reshape(N2p)[:N2]
+        b = b.reshape(N2p)[:N2]
+        return jnp.stack([r, b], axis=1).reshape(N)
 
     relax.supports_f_zero = False
     return relax
