@@ -171,23 +171,33 @@ def main():
         "import jax, jax.numpy as jnp; "
         "a = jnp.ones((128, 128)); print('ok', float((a @ a)[0, 0]))"
     )
-    for attempt in range(6):
-        try:
-            r = subprocess.run(
-                [sys.executable, "-c", probe],
-                timeout=75,
-                capture_output=True,
-                text=True,
+
+    def wait_for_backend(attempts=6, pause=0):
+        """Probe in short-lived subprocesses until one connects.
+        Returns True on a live tunnel; False if every attempt hung
+        (full outages have been observed lasting 30+ minutes)."""
+        for attempt in range(attempts):
+            try:
+                r = subprocess.run(
+                    [sys.executable, "-c", probe],
+                    timeout=75,
+                    capture_output=True,
+                    text=True,
+                )
+                if "ok" in r.stdout:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(
+                f"[bench] backend probe attempt {attempt + 1} hung; "
+                "retrying",
+                file=sys.stderr,
             )
-            if "ok" in r.stdout:
-                break
-        except subprocess.TimeoutExpired:
-            pass
-        print(
-            f"[bench] backend probe attempt {attempt + 1} hung; retrying",
-            file=sys.stderr,
-        )
-    else:
+            if pause:
+                time.sleep(pause)
+        return False
+
+    if not wait_for_backend():
         print(
             "[bench] WARNING: backend probe never connected; "
             "attempting the run anyway",
@@ -255,6 +265,11 @@ def main():
                     )
                     if attempt == 0:
                         retry.append((row, 1))
+                    if isinstance(e, TimeoutError):
+                        # a row deadline usually means a tunnel outage:
+                        # wait on cheap probes (~20 min worth) instead
+                        # of burning a 1500 s hang per remaining row
+                        wait_for_backend(attempts=10, pause=60)
     if headline is None:
         try:  # end-of-run retry for the flagship itself
             headline = measure_deadline(args)
