@@ -207,7 +207,8 @@ def make_resident_relax(problem, geom: LevelGeometry, dtype, interpret=False):
 
 
 def make_split_resident_relax_1d(
-    problem, geom: LevelGeometry, dtype, interpret=False
+    problem, geom: LevelGeometry, dtype, interpret=False,
+    full_tiles=True,
 ):
     """1D color-split resident relaxation (padded storage).
 
@@ -238,8 +239,9 @@ def make_split_resident_relax_1d(
     # row's column 0 — one (R, 1)-broadcast select per sweep.  Reads
     # that wrap past the final row land on zero padding or the stored
     # boundary, on points the masks exclude (same argument as the old
-    # lane-wrap layout).
-    C = min(N2, 128)
+    # lane-wrap layout).  full_tiles=False keeps the single-row layout
+    # (scripts/ab_split1d_layout.py interleaved A/B).
+    C = min(N2, 128) if full_tiles else N2
     R = -(-N2 // C)
     N2p = R * C
 
