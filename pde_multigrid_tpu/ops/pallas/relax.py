@@ -267,11 +267,15 @@ def make_split_resident_relax_1d(
 
         def east_of(r):
             # red at flat i+1: lane roll, next-row col 0 at the seam
-            return jnp.where(
-                last,
-                jnp.roll(r, -1, 0)[:, 0:1],
-                jnp.roll(r, -1, 1),
-            )
+            rolled = jnp.roll(r, -1, 1)
+            if R == 1:
+                # the only seam is the final lane (point beyond the
+                # boundary) — masked out, so the lane wrap is fine, and
+                # an axis-0 roll would lower to a zero-size r[1:1]
+                # slice Mosaic rejects.
+                return rolled
+            nxt0 = jnp.concatenate([r[1:, 0:1], r[:1, 0:1]], axis=0)
+            return jnp.where(last, nxt0, rolled)
 
         def one_sweep(_, rb):
             r, b = rb

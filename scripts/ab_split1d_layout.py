@@ -23,6 +23,8 @@ from pde_multigrid_tpu.ops.pallas import relax as R
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 8193
 REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+NU_LO = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+NU_HI = int(sys.argv[4]) if len(sys.argv) > 4 else 1000
 
 prob = Ode1D()
 h = Hierarchy.build(prob, N, pad_last_to=128)
@@ -63,9 +65,9 @@ def run(fn, nu):
 acc = {k: [] for k in fns}
 for _round in range(2):
     for k, fn in fns.items():
-        lo, hi = run(fn, 200), run(fn, 1000)
-        slope = (hi - lo) / 800
-        fixed = lo - slope * 200
+        lo, hi = run(fn, NU_LO), run(fn, NU_HI)
+        slope = (hi - lo) / (NU_HI - NU_LO)
+        fixed = lo - slope * NU_LO
         acc[k].append((fixed, slope))
         print(
             f"  {k}: fixed={fixed*1e6:.1f} us "
