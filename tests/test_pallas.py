@@ -755,6 +755,32 @@ def test_planner_tier_selection_at_bench_sizes():
     )
 
 
+@pytest.mark.parametrize("n", [129, 1025])
+def test_split_resident_1d_layouts_bitwise_equal(n):
+    """Full-tile (R, 128) layout == single-row (1, N/2) layout bitwise.
+
+    Pins the row-seam east-neighbor logic (black reads red at flat
+    i+1): n=129 exercises the R == 1 arm (no seam select at all — the
+    arm whose jnp.roll(axis=0) formulation produced a zero-size slice
+    the Mosaic compiler rejects, KERNELS.md §1D full-tile), n=1025 the
+    R > 1 column-0-concatenate seam."""
+    from pde_multigrid_tpu.grid import build_geometries
+
+    prob = Ode1D()
+    geom = build_geometries((n,), prob.domain, None, pad_last_to=128)[0]
+    v = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32))
+    f = jnp.asarray(
+        RNG.standard_normal(geom.padded_shape).astype(np.float32))
+    tiles = R.make_split_resident_relax_1d(
+        prob, geom, F32, interpret=True, full_tiles=True)
+    row = R.make_split_resident_relax_1d(
+        prob, geom, F32, interpret=True, full_tiles=False)
+    for ns in (1, 7):
+        np.testing.assert_array_equal(
+            np.asarray(tiles(v, f, ns)), np.asarray(row(v, f, ns)))
+
+
 @pytest.mark.parametrize("B,T", [(8, 1), (8, 2), (16, 4)])
 def test_split_reduced_slab_2d_matches_jnp(B, T):
     """Reduced-system (black-only) kernel: one full RBGS sweep as a
