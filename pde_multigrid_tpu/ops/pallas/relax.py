@@ -3739,17 +3739,20 @@ SPLIT2D_MIN_Y2 = int(os.environ.get("PDE_MG_SPLIT2D_MIN_Y2", "256"))
 SPLIT2D_REDUCED = (
     os.environ.get("PDE_MG_SPLIT2D_REDUCED", "0") == "1"
 )
-# Largest (ext-rows x lane-padded-half-width) VMEM window this
-# environment's remote Mosaic compile service accepts for the 2D
-# color-split kernels TODAY.  Empirical boundary (compile probes,
-# 2026-08-20; the service now masks the true Mosaic error behind a
-# broken chipless-AOT fallback that 500s): PASS (128,T8)@2049^2=627K,
-# (64,T8)@4097^2=696,320B; FAIL (128,T16)@2049^2=720K,
-# (64,T16)@4097^2=835K, (96,T8)@4097^2=975K — even though
-# (128,T16)@2049^2 compiled during the round-3 hardware A/B that set
-# SPLIT2D_T=16.  Env-tunable so the cap can be lifted when the compile
-# infra heals (set PDE_MG_SPLIT2D_MAX_WINDOW_KB=1088 to restore the
-# old 16MB-scoped-VMEM-limited ladder).
+# Largest (ext-rows x lane-padded-half-width) VMEM window the 2D
+# color-split kernels can compile.  This is a REAL scoped-VMEM
+# boundary, not compile-service flakiness: on 2026-08-21 the service
+# surfaced the true error behind the 2026-08-20 HTTP-500s — "Scoped
+# allocation with size 16.06M and limit 16.00M exceeded" for the
+# 720K window, i.e. the kernel's compiled VMEM stack is ~22.8 bytes
+# per window byte (double-buffered copies of the ~12 modeled streams),
+# so the feasible boundary is 16M/22.8 = ~713K.  Empirical: PASS
+# (128,T8)@2049^2=627K (14.3M scoped), (64,T8)@4097^2=696,320B
+# (15.5M); FAIL (128,T16)@2049^2=720K (16.06M), (64,T16)@4097^2=835K,
+# (96,T8)@4097^2=975K.  Raising the env knob past ~712 can never
+# compile (scripts/ab_split2d_window.py reproduces the OOM); a bigger
+# window requires actually shrinking the kernel's per-stream
+# buffering, not lifting the cap.
 SPLIT2D_MAX_WINDOW = (
     int(os.environ.get("PDE_MG_SPLIT2D_MAX_WINDOW_KB", "680")) * 1024
 )
