@@ -493,12 +493,25 @@ def _measure_one(args, tag="", check=True):
                 lv, l2, _ = compiled(levels, jnp.int32(1))
                 levels = None
                 float(l2)
+                # Interleave full and short passes of the SAME dynamic-
+                # trip executable: per_step from the wall-clock
+                # DIFFERENCE cancels the per-dispatch tunnel latency
+                # exactly (measured ~25 ms/dispatch on 2026-08-21 —
+                # 0.8 ms/step of pollution at reps=30, 2.5 at reps=10;
+                # a production solver iterates under one dispatch, so
+                # the amortized-to-zero number is the honest one).
+                lo_reps = max(1, args.reps // 8)
                 chain_times = []
+                lo_times = []
                 for _pass in range(2):
                     t0 = time.perf_counter()
                     lv, l2, err = compiled(lv, jnp.int32(args.reps))
                     l2_final = float(l2)  # scalar fetch forces completion
                     chain_times.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
+                    lv, l2, err = compiled(lv, jnp.int32(lo_reps))
+                    l2_final = float(l2)
+                    lo_times.append(time.perf_counter() - t0)
                 n_steps = args.reps
             elif mode == "unroll":
                 K = max(1, min(args.reps, 4))
@@ -555,6 +568,19 @@ def _measure_one(args, tag="", check=True):
         f"{chain_times[1]:.3f}s)"
     )
     per_step = elapsed / n_steps
+    dispatch_ms = None
+    if mode == "fori" and args.reps > lo_reps:
+        diff = (elapsed - min(lo_times)) / (args.reps - lo_reps)
+        # accept the dispatch-free estimate only when it is sane: a
+        # pool spike during a short pass can push the difference above
+        # the wall-clock average (then the average is the safe bound)
+        if 0 < diff <= per_step:
+            dispatch_ms = (elapsed - diff * args.reps) * 1e3
+            per_step = diff
+            timing_tag += (
+                f" lo=({lo_times[0]:.3f}s,{lo_times[1]:.3f}s)"
+                f" dispatch={dispatch_ms:.1f}ms"
+            )
 
     err_linf, res_l2 = float(err), l2_final
 
@@ -588,6 +614,10 @@ def _measure_one(args, tag="", check=True):
             round(ups / ref_ups, 3) if ref_ups is not None else None
         ),
     }
+    if dispatch_ms is not None:
+        # tunnel-dispatch intercept removed from per_step (fori mode's
+        # two-trip-count difference) — recorded for transparency
+        record["dispatch_ms"] = round(dispatch_ms, 2)
     ndim = problem.ndim
     print(
         f"[bench] {args.problem} n={args.n}^{ndim} fmg(nu0={c.nu0},nu={c.nu1}) backend={args.backend} "
