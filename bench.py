@@ -296,7 +296,7 @@ def main():
 # benchmarked (vs_baseline: null) — recorded so the driver artifact
 # carries their perf story too (VERDICT r2 weak #8).
 THESIS_MATRIX = [
-    dict(problem="poisson3d", n=129, nu=3000, nu0=2, reps=8),
+    dict(problem="poisson3d", n=129, nu=3000, nu0=2, reps=16),
     dict(problem="poisson3d", n=257, nu=3000, nu0=2, reps=3),
     # beyond the reference's representable size (GTX 550 Ti: 1 GB);
     # nu=100 amortizes the ~128 ms/step fixed cost (transfer-bound,
@@ -304,8 +304,8 @@ THESIS_MATRIX = [
     dict(problem="poisson3d", n=513, nu=100, nu0=2, reps=4),
     dict(problem="lyapunov2d", n=4097, nu=500, nu0=2, reps=6),
     dict(problem="ode1d", n=8193, nu=1000, nu0=2, reps=30),
-    dict(problem="hjb2d", n=513, nu=30, nu0=2, reps=10),
-    dict(problem="varcoef2d", n=1025, nu=40, nu0=2, reps=8),
+    dict(problem="hjb2d", n=513, nu=30, nu0=2, reps=30),
+    dict(problem="varcoef2d", n=1025, nu=40, nu0=2, reps=24),
 ]
 
 
