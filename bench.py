@@ -570,16 +570,33 @@ def _measure_one(args, tag="", check=True):
     per_step = elapsed / n_steps
     dispatch_ms = None
     if mode == "fori" and args.reps > lo_reps:
-        diff = (elapsed - min(lo_times)) / (args.reps - lo_reps)
-        # accept the dispatch-free estimate only when it is sane: a
-        # pool spike during a short pass can push the difference above
-        # the wall-clock average (then the average is the safe bound)
-        if 0 < diff <= per_step:
-            dispatch_ms = (elapsed - diff * args.reps) * 1e3
+        # ADVICE r4: form the difference within each interleaved pass
+        # pair (full and lo run back-to-back under the same pool
+        # conditions), never across independently-chosen minima.  A
+        # spike in a pair's FULL leg pushes its diff too HIGH; a spike
+        # in its SHORT leg pushes the diff too LOW (silently inflating
+        # the speedup) with an implausibly large implied intercept —
+        # so take the least-polluted pair and accept only when the
+        # implied intercept lands in the known tunnel-dispatch
+        # envelope; otherwise the wall-clock average is the bound.
+        dn = args.reps - lo_reps
+        k = min(
+            range(len(chain_times)),
+            key=lambda i: chain_times[i] + lo_times[i],
+        )
+        diff = (chain_times[k] - lo_times[k]) / dn
+        implied_ms = (chain_times[k] - diff * args.reps) * 1e3
+        if 0 < diff and -1.0 <= implied_ms <= 150.0:
+            dispatch_ms = max(implied_ms, 0.0)
             per_step = diff
             timing_tag += (
                 f" lo=({lo_times[0]:.3f}s,{lo_times[1]:.3f}s)"
                 f" dispatch={dispatch_ms:.1f}ms"
+            )
+        else:
+            timing_tag += (
+                f" lo=({lo_times[0]:.3f}s,{lo_times[1]:.3f}s)"
+                f" dispatch-fit rejected (intercept {implied_ms:.1f}ms)"
             )
 
     err_linf, res_l2 = float(err), l2_final

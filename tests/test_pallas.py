@@ -763,7 +763,13 @@ def test_split_resident_1d_layouts_bitwise_equal(n):
     i+1): n=129 exercises the R == 1 arm (no seam select at all — the
     arm whose jnp.roll(axis=0) formulation produced a zero-size slice
     the Mosaic compiler rejects, KERNELS.md §1D full-tile), n=1025 the
-    R > 1 column-0-concatenate seam."""
+    R > 1 column-0-concatenate seam.
+
+    LIMITATION (ADVICE r4): interpret=True ACCEPTS the zero-size-slice
+    formulation Mosaic rejects, so this test pins only the numerical
+    layout equivalence — the hardware-lowering regression is instead
+    caught by the bench ode1d row itself (it compiles this kernel on
+    the real Mosaic service and fails fast), not by this CPU suite."""
     from pde_multigrid_tpu.grid import build_geometries
 
     prob = Ode1D()
