@@ -53,6 +53,12 @@ PROBLEM_DEFAULTS = {
     # 1025^2 rides the streaming slab stencil-operator kernel on L0/L1
     # and the resident kernel below (ops/pallas/stencilop.py)
     "varcoef2d": dict(n=1025, nu=40),
+    # north-star config 5 (BASELINE.json configs[4]): FMG + W-cycle on an
+    # anisotropic 3D grid (domain squashed 20x along x) with zebra LINE
+    # relaxation — batched Thomas solves along the MAJOR axis (each scan
+    # step is a full (Y, Z) plane on the VPU; scanning the lane axis
+    # would serialize lanes)
+    "anis3d": dict(n=257, nu=8),
 }
 
 
@@ -106,7 +112,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--problem",
-        choices=("poisson3d", "ode1d", "lyapunov2d", "hjb2d", "varcoef2d"),
+        choices=(
+            "poisson3d",
+            "ode1d",
+            "lyapunov2d",
+            "hjb2d",
+            "varcoef2d",
+            "anis3d",
+        ),
         default="poisson3d",
     )
     ap.add_argument("--n", type=int, default=0, help="0 = per-problem default")
@@ -306,6 +319,9 @@ THESIS_MATRIX = [
     dict(problem="ode1d", n=8193, nu=1000, nu0=2, reps=30),
     dict(problem="hjb2d", n=513, nu=30, nu0=2, reps=30),
     dict(problem="varcoef2d", n=1025, nu=40, nu0=2, reps=24),
+    # north-star config 5: anisotropic 3D, FMG + W-cycle (mu=2), zebra
+    # line relaxation (extension beyond the reference; vs_baseline null)
+    dict(problem="anis3d", n=257, nu=8, nu0=2, reps=10),
 ]
 
 
@@ -367,14 +383,23 @@ def _measure_one(args, tag="", check=True):
         VariableCoefficientPoisson,
     )
 
+    from pde_multigrid_tpu import Poisson
+
     problem = {
         "poisson3d": Poisson3D,
         "ode1d": Ode1D,
         "lyapunov2d": Lyapunov2D,
         "hjb2d": HJBMinTime,
         "varcoef2d": functools.partial(VariableCoefficientPoisson, 2),
+        # config 5: domain squashed 20x along x -> strong x-coupling;
+        # zebra line relaxation along the MAJOR axis (TPU-first: each
+        # Thomas scan step is a whole (Y, Z) plane on the VPU)
+        "anis3d": functools.partial(
+            Poisson, 3, ((0.0, 0.05), (0.0, 1.0), (0.0, 1.0))
+        ),
     }[args.problem]()
 
+    line = args.problem == "anis3d"
     nonlinear = getattr(problem, "nonlinear", False)
     # nonlinear problems (HJB) need FAS + relaxed coarsest (the direct
     # coarse solves are linear-only) and run f32 (defect correction is a
@@ -395,9 +420,15 @@ def _measure_one(args, tag="", check=True):
             "fmg", args.nu0, args.nu, args.nu, coarsest=coarsest,
             scheme="fas" if nonlinear else "cs",
             coarse_operator="galerkin" if galerkin else "rediscretize",
+            # config 5: W-cycle + zebra line relaxation (jnp tier —
+            # the batched Thomas scan runs whole planes per step)
+            mu=2 if line else 1,
+            smoother="line-0" if line else "rbgs",
         ),
         backend=args.backend,
-        precision="f32" if (nonlinear or galerkin) else args.precision,
+        precision=(
+            "f32" if (nonlinear or galerkin or line) else args.precision
+        ),
         pad_last_to=args.pad_last,
     )
     solver = MultigridSolver(problem, args.n, cfg)
@@ -649,7 +680,8 @@ def _measure_one(args, tag="", check=True):
 
     _, model_bytes, _ = roofline.cycle_traffic_model(
         solver.geoms, "fmg", c.nu0, c.nu1, c.nu2, c.mu,
-        precision=args.precision,
+        precision=cfg.precision,  # the EFFECTIVE precision (nonlinear/
+        # galerkin/line rows force f32 regardless of --precision)
         rhs_zero=getattr(problem, "rhs_is_zero", False),
         split_caps=(
             hasattr(problem, "split_update")
@@ -658,10 +690,13 @@ def _measure_one(args, tag="", check=True):
         ),
         # Galerkin levels stream K stencil-coefficient fields
         stencil_k=(3 ** problem.ndim) if galerkin else None,
+        line_smoother=line,
     )
     t_hbm = model_bytes / (roofline.DEFAULT_HBM_GBPS * 1e9)
     t_vpu = updates / roofline.vpu_bound_updates_per_s(
-        ndim, stencil_k=(3 ** ndim) if galerkin else None
+        ndim,
+        stencil_k=(3 ** ndim) if galerkin else None,
+        line=line,
     )
     t_bound = max(t_hbm, t_vpu)
     which = "VPU-arithmetic" if t_vpu > t_hbm else "HBM-traffic"
@@ -676,9 +711,10 @@ def _measure_one(args, tag="", check=True):
     # round-off.  poisson3d is second order (central differences);
     # ode1d/lyapunov2d use the reference's one-sided first-order schemes
     # (SURVEY.md §2.5), so their error floor is O(h), not O(h^2).
-    lo, hi = problem.domain[0]
-    h = (hi - lo) / (args.n - 1)
-    if args.problem in ("poisson3d", "varcoef2d"):
+    h = max(
+        (hi - lo) / (args.n - 1) for lo, hi in problem.domain
+    )  # anisotropic domains: the largest spacing dominates the error
+    if args.problem in ("poisson3d", "varcoef2d", "anis3d"):
         # poisson3d: second-order central differences; varcoef2d:
         # discretely manufactured solution (pure algebraic error) —
         # 50h^2 is a generous ceiling for both

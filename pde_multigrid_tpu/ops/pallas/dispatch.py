@@ -91,6 +91,25 @@ class PallasKernels(JnpKernels):
                     self._xla_prolong[l] = transfer_mod.make_xla_prolong(
                         gc, gf, dtype
                     )
+                elif self._restrict[l] is None and (
+                    transfer_mod.xla_pair_ok_2d(gf, gc)
+                ):
+                    # big non-wrap 2D pairs: MXU pick-matrix transfers
+                    # (the jnp tier's lane-dim relayouts dominated the
+                    # 2D per-step fixed cost — VERDICT r4 #2).  Edge
+                    # injection is exact iff m_int is purely geometric
+                    # (no keep-mask problems like HJB's pinned ball).
+                    self._xla_restrict[l] = (
+                        transfer_mod.make_xla_restrict_2d(
+                            gf, gc, dtype,
+                            edge_injection=not hasattr(
+                                problem, "kernel_keep_mask"
+                            ),
+                        )
+                    )
+                    self._xla_prolong[l] = (
+                        transfer_mod.make_xla_prolong_2d(gc, gf, dtype)
+                    )
                 continue
             self._rr[l] = transfer_mod.make_residual_restrict(
                 problem, gf, gc, dtype, interpret=interpret

@@ -571,6 +571,180 @@ def make_xla_prolong(geom_c: LevelGeometry, geom_f: LevelGeometry, dtype):
     return prolong
 
 
+# ------------------------------------------- 2D non-wrap XLA MXU transfers
+#
+# Round-5 (VERDICT r4 #2): the 2D bench problems (Lyapunov 4097^2, HJB,
+# varcoef) ran every transfer on the jnp tier — whose lane-dim
+# reshape-split subsample relayouts at large sizes — contributing most
+# of the 65 ms/step fixed cost at 4097^2.  Same cure as the round-4
+# wrap-3D path: both axes as banded pick-matrix MXU contractions at
+# Precision.HIGHEST.  Non-wrap (padded) storage: the matrices fold the
+# logical->padded layout in (zero rows/columns for padding), boundary
+# columns are overwritten by the injection blend exactly as the jnp
+# tier's `inj + m_int*(sm - inj)` does.  Reference ops: 2D Restrict
+# `MultiGrid2D.cpp:63-126`, Interpolate `MultiGrid2D.cpp:128-196`.
+
+import os as _os
+
+
+def _xla2d_min_y() -> int:
+    """Engagement gate (padded fine lane extent), read at plan time so
+    the in-process A/B harness can toggle it; 0 disables the tier."""
+    return int(_os.environ.get("PDE_MG_XLA2D_MIN_Y", "256"))
+
+
+# The 2D matrices are built ON DEVICE from iota comparisons at trace
+# time, NOT as numpy constants: a (4104, 2056) f32 literal is 33 MB and
+# a full 4097^2 program embeds ~10 of them — past this environment's
+# program-upload limit (observed HTTP 413).  The iota form stays
+# symbolic through XLA (verified: 6.8 KB optimized HLO for a 4097-size
+# contraction) and materializes once per program at HBM speed.
+
+
+def _restrict_mat_open(n_log: int, n_in: int, n_out: int):
+    """(n_in, n_out) full-weighting smooth+subsample for a NON-wrap axis
+    with logical extent n_log (= 2^k+1) stored in n_in padded rows,
+    producing n_out padded coarse rows (logical (n_log-1)/2+1).
+
+    Column j sums rows 2j-1, 2j, 2j+1 with [1/4, 1/2, 1/4] (rows clamped
+    to the logical range — out-of-range taps are simply absent, matching
+    the jnp tier up to the injection blend that overwrites boundary
+    columns); padding columns are zero."""
+    nc = (n_log - 1) // 2 + 1
+    i = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    m = (
+        0.5 * (i == 2 * j)
+        + 0.25 * (i == 2 * j - 1)
+        + 0.25 * (i == 2 * j + 1)
+    )
+    valid = (j < nc) & (i < n_log)
+    return jnp.where(valid, m, 0.0).astype(jnp.float32)
+
+
+def _inject_mat_open(n_log: int, n_in: int, n_out: int):
+    """(n_in, n_out) straight subsample out[j] = in[2j] (non-wrap)."""
+    nc = (n_log - 1) // 2 + 1
+    i = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    return jnp.where(
+        (i == 2 * j) & (j < nc), 1.0, 0.0
+    ).astype(jnp.float32)
+
+
+def _prolong_mat_open(n_log_c: int, n_in: int, n_out: int):
+    """(n_in, n_out) linear upsample for a NON-wrap axis: out[2i] = c[i],
+    out[2i+1] = (c[i] + c[i+1])/2 for i < nc-1; fine padding rows are
+    zero (the jnp tier's _fit zero-pads; consumers mask the interior)."""
+    nc = n_log_c
+    i = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 0)
+    j = lax.broadcasted_iota(jnp.int32, (n_in, n_out), 1)
+    m = (
+        1.0 * ((j == 2 * i) & (i < nc))
+        + 0.5 * ((j == 2 * i + 1) & (i < nc - 1))
+        + 0.5 * ((j == 2 * i - 1) & (i >= 1) & (i < nc))
+    )
+    return m.astype(jnp.float32)
+
+
+def xla_pair_ok_2d(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
+    """Gate for the 2D non-wrap XLA MXU transfer path: level pairs big
+    enough that the jnp tier's lane-dim relayouts dominate and the
+    contraction extents feed the MXU.  Small pairs stay on jnp (cheap in
+    absolute terms and XLA fuses them into neighbors)."""
+    if geom_f.wrap or geom_c.wrap or geom_f.ndim != 2:
+        return False
+    from pde_multigrid_tpu.grid import coarsen_shape
+
+    if coarsen_shape(geom_f.shape) != geom_c.shape:
+        return False
+    min_y = _xla2d_min_y()
+    if min_y <= 0:
+        return False
+    X, Y = geom_f.padded_shape
+    return Y >= min_y and geom_c.padded_shape[1] % 128 == 0
+
+
+def make_xla_restrict_2d(
+    geom_f: LevelGeometry,
+    geom_c: LevelGeometry,
+    dtype,
+    edge_injection: bool = False,
+):
+    """restrict(a, m_int_c, m_log_c) for big non-wrap 2D pairs, pure XLA.
+
+    Semantics == stencil.restrict_full_weighting (inject +
+    m_int*(smoothed - inject), masked by m_log) up to f32 summation
+    order, for ARBITRARY m_int_c (problem-modified interior masks — the
+    HJB pinned ball — included): both the smoothing and the injection
+    are full pick-matrix contractions, blended exactly like the jnp
+    tier.  Reference: 2D Restrict `MultiGrid2D.cpp:63-126`.
+
+    edge_injection=True (callers assert m_int_c is the PURE geometric
+    interior mask): injection only matters on the four boundary edges,
+    so it is built from four vector picks and written with .at[].set —
+    halving the full-volume contraction count (the injection einsums
+    cost as much as the smoothing ones)."""
+    X, Y = geom_f.padded_shape
+    Xc, Yc = geom_c.padded_shape
+    nfx, nfy = geom_f.shape
+    ncx, ncy = geom_c.shape
+
+    # matrices are built INSIDE the traced fns (see module note above):
+    # jit caches the trace, and XLA materializes them once per program
+    def restrict_blend(a, m_int_c, m_log_c):
+        sm = _hilo_einsum("xc,xy->cy", _restrict_mat_open(nfx, X, Xc), a)
+        sm = _hilo_einsum("yd,cy->cd", _restrict_mat_open(nfy, Y, Yc), sm)
+        inj = _hilo_einsum("xc,xy->cy", _inject_mat_open(nfx, X, Xc), a)
+        inj = _hilo_einsum(
+            "yd,cy->cd", _inject_mat_open(nfy, Y, Yc), inj
+        )
+        out = inj + m_int_c * (sm - inj)
+        if m_log_c is not None:
+            out = out * m_log_c
+        return out
+
+    def restrict_edges(a, m_int_c, m_log_c):
+        sm = _hilo_einsum("xc,xy->cy", _restrict_mat_open(nfx, X, Xc), a)
+        sm = _hilo_einsum("yd,cy->cd", _restrict_mat_open(nfy, Y, Yc), sm)
+        Jx = _inject_mat_open(nfx, X, Xc)
+        Jy = _inject_mat_open(nfy, Y, Yc)
+        row0 = _hilo_einsum("yd,y->d", Jy, a[0, :])
+        rowN = _hilo_einsum("yd,y->d", Jy, a[2 * (ncx - 1), :])
+        col0 = _hilo_einsum("xc,x->c", Jx, a[:, 0])
+        colN = _hilo_einsum("xc,x->c", Jx, a[:, 2 * (ncy - 1)])
+        out = sm.at[0, :].set(row0).at[ncx - 1, :].set(rowN)
+        out = out.at[:, 0].set(col0).at[:, ncy - 1].set(colN)
+        if m_log_c is not None:
+            out = out * m_log_c
+        return out
+
+    return restrict_edges if edge_injection else restrict_blend
+
+
+def make_xla_prolong_2d(
+    geom_c: LevelGeometry, geom_f: LevelGeometry, dtype
+):
+    """prolong(c) -> full fine array for big non-wrap 2D pairs, pure
+    XLA bilinear upsample via _prolong_mat_open MXU contractions.
+    Semantics == stencil.prolong_linear on the logical region up to f32
+    summation order; fine PADDING rows/cols are zero where the jnp tier
+    carries upsampled-padding garbage — every consumer masks with m_int
+    (cycles.py apply_correction / FMG upward blend), so the difference
+    is invisible downstream.  Reference: `MultiGrid2D.cpp:128-196`."""
+    X, Y = geom_f.padded_shape
+    Xc, Yc = geom_c.padded_shape
+    ncx, ncy = geom_c.shape
+
+    def prolong(c):
+        a = _hilo_einsum("cx,cd->xd", _prolong_mat_open(ncx, Xc, X), c)
+        return _hilo_einsum(
+            "dy,xd->xy", _prolong_mat_open(ncy, Yc, Y), a
+        )
+
+    return prolong
+
+
 def planner_ok(geom_f: LevelGeometry, geom_c: LevelGeometry) -> bool:
     """Transfer kernels cover wrap-mode 3D level pairs (the flagship
     path); everything else stays on the jnp tier."""

@@ -39,13 +39,23 @@ VPU_F32_OPS_PER_S = 4 * 8 * 128 * 0.94e9
 SPLIT_OPS_PER_UPDATE = {3: 20, 2: 14, 1: 8}
 
 
-def vpu_bound_updates_per_s(ndim: int, stencil_k: int | None = None) -> float:
+def vpu_bound_updates_per_s(
+    ndim: int, stencil_k: int | None = None, line: bool = False
+) -> float:
     """VPU-arithmetic-bound smoother updates/s for VMEM-resident sweeps.
 
     stencil_k: implicit-stencil (Galerkin) levels run the dense
     two-pass gs kernel — per color pass, (K-1) multiply-subtract pairs
     + a ~7-op divide + a 3-op masked blend, with both colors computed
-    everywhere: ops/update ~ 2*(2*(K-1) + 10)."""
+    everywhere: ops/update ~ 2*(2*(K-1) + 10).
+
+    line: zebra line relaxation (batched Thomas along the major axis) —
+    per zebra half, the RHS build is 2(d-1) FMAs + a blend computed on
+    the FULL grid, the forward scan is ~3 ops/point (dp recurrence; the
+    cp recurrence is per-row scalar work), the backward ~2, the final
+    blend ~3: ops/update ~ 2*(2(d-1) + 3 + 3 + 2 + 3)."""
+    if line:
+        return VPU_F32_OPS_PER_S / (2 * (2 * (ndim - 1) + 11))
     if stencil_k is not None:
         return VPU_F32_OPS_PER_S / (2 * (2 * (stencil_k - 1) + 10))
     return VPU_F32_OPS_PER_S / SPLIT_OPS_PER_UPDATE.get(ndim, 20)
@@ -107,6 +117,7 @@ def relax_traffic(
     f_zero: bool = False,
     split_caps: bool = True,
     stencil_k: int | None = None,
+    line_smoother: bool = False,
 ) -> LevelTraffic:
     """HBM-traffic model of one relax leg at one level.
 
@@ -125,6 +136,20 @@ def relax_traffic(
     resident = arr_bytes * 7 <= resident_budget
     n_reads = 1 if f_zero else 2
     shape = tuple(geom.padded_shape)
+    if line_smoother:
+        # zebra line relaxation (stencil.relax_zebra_line, jnp tier):
+        # per zebra half — RHS build (read v, f; write d), forward scan
+        # (read d, write the stacked dp), backward scan (read dp, write
+        # x), blend (read v, write v): ~6 array passes per half, 12 per
+        # sweep, resident levels excluded (the scan stacks through HBM).
+        return LevelTraffic(
+            level=-1,
+            stored_points=stored,
+            interior_points=_interior_points(geom.shape),
+            resident=False,
+            bytes_per_sweep=12 * arr_bytes,
+            sweeps=sweeps,
+        )
     if stencil_k is not None:
         # implicit-stencil (Galerkin/varcoef) levels: K coefficient
         # fields ride every stream.  Mirror plan_stencil_relax's tier
@@ -230,6 +255,7 @@ def cycle_traffic_model(
     rhs_zero: bool = False,
     split_caps: bool = True,
     stencil_k: int | None = None,
+    line_smoother: bool = False,
 ):
     """Per-level relax-leg counts and traffic for a V/FMG schedule (the
     transfer ops add one ~3-array pass per instance — folded in as a
@@ -273,7 +299,7 @@ def cycle_traffic_model(
 
             t = relax_traffic(
                 g, nu, dtype_size, f_zero=f_zero, split_caps=split_caps,
-                stencil_k=stencil_k,
+                stencil_k=stencil_k, line_smoother=line_smoother,
             )
             t = dataclasses.replace(t, level=l, sweeps=n_legs * nu)
             if (

@@ -52,15 +52,76 @@ def run(n_dev: int, base_n: int, nu: int, reps: int):
     return dt, float(l2)
 
 
+COLLECTIVES = (
+    "collective-permute",
+    "all-gather",
+    "all-reduce",
+    "reduce-scatter",
+    "all-to-all",
+)
+
+
+def census(n_dev: int, n: int, nu: int):
+    """Fixed-size run at every mesh size: compile the sharded FMG step,
+    count collectives in the optimized HLO, execute ONE step and report
+    the residual (VERDICT r4 #10: a correctness + collective-count
+    scaling table for the real-hardware rehearsal, wall-clock excluded
+    on virtual CPU devices)."""
+    from pde_multigrid_tpu import (
+        CycleConfig,
+        MultigridSolver,
+        Poisson,
+        SolverConfig,
+    )
+    from pde_multigrid_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(n_dev) if n_dev > 1 else None
+    cfg = SolverConfig(
+        cycle=CycleConfig("fmg", 1, nu, nu), pad_axis0_to=max(n_dev, 1)
+    )
+    s = MultigridSolver(Poisson(3), n, cfg, mesh=mesh)
+    levels = s.fresh_levels()
+    compiled = jax.jit(s.program.solve_step).lower(levels).compile()
+    txt = compiled.as_text()
+    counts = {k: txt.count(f" {k}(") + txt.count(f" {k}-start(")
+              for k in COLLECTIVES}
+    out = compiled(levels)
+    jax.block_until_ready(out)
+    l2, _ = jax.jit(s.program.residual_norms)(out)
+    shard_lvls = sum(
+        1
+        for g in s.geoms
+        if mesh is not None
+        and not pmesh.level_sharding(mesh, g).is_fully_replicated
+    )
+    return counts, float(l2), shard_lvls
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--base-n", type=int, default=33)
     ap.add_argument("--nu", type=int, default=4)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--devices", default="1,2,4,8")
+    ap.add_argument(
+        "--census", type=int, default=0,
+        help="fixed-size collective-count mode at this n (0 = off)",
+    )
     args = ap.parse_args()
     counts = [int(x) for x in args.devices.split(",")]
     n_avail = len(jax.devices())
+    if args.census:
+        for n_dev in counts:
+            if n_dev > n_avail:
+                continue
+            cs, l2, nsh = census(n_dev, args.census, args.nu)
+            cs_s = " ".join(f"{k}={v}" for k, v in cs.items() if v)
+            print(
+                f"n_dev={n_dev} n={args.census} sharded_levels={nsh} "
+                f"res_l2={l2:.3e} {cs_s or 'no-collectives'}",
+                flush=True,
+            )
+        return
     base = None
     for n_dev in counts:
         if n_dev > n_avail:

@@ -307,3 +307,83 @@ def test_xla_mxu_transfers_match_jnp_tier_wrap3d():
         stencil.prolong_linear(c, g0.padded_shape, periodic=True)
     )
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_xla_mxu_transfers_match_jnp_tier_2d():
+    """2D non-wrap XLA MXU pick-matrix transfers (make_xla_restrict_2d /
+    make_xla_prolong_2d) == the jnp tier on padded 2D pairs, for an
+    ARBITRARY (problem-modified) coarse interior mask — the semantics
+    every 2D problem family (Lyapunov, HJB pinned-ball, varcoef) needs.
+    These serve the big 2D level pairs whose jnp-tier lane-dim relayouts
+    dominated the 4097^2 per-step fixed cost (VERDICT r4 #2).  Prolong
+    parity is checked m_int-masked: fine PADDING rows carry zeros here
+    vs upsampled-padding garbage in the jnp tier, and every consumer
+    masks (cycles.py)."""
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.models import Lyapunov2D
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    prob = Lyapunov2D()
+    h = Hierarchy.build(prob, 513, pad_last_to=128, pad_sublane_to=8)
+    g0, g1 = h.geoms[0], h.geoms[1]
+    assert T.xla_pair_ok_2d(g0, g1) is True
+    assert T.xla_pair_ok_2d(h.geoms[-2], h.geoms[-1]) is False  # tiny
+    rng = np.random.default_rng(11)
+    a = jnp.asarray(rng.standard_normal(g0.padded_shape), jnp.float32)
+    c = jnp.asarray(rng.standard_normal(g1.padded_shape), jnp.float32)
+    # modified interior mask (HJB-style pinned points inside the domain)
+    m_int = np.array(h.levels[1].aux["m_int"])
+    m_int[10:14, 17:21] = 0.0
+    m_int = jnp.asarray(m_int)
+    m_log = h.levels[1].aux["m_log"]
+    xr = T.make_xla_restrict_2d(g0, g1, jnp.float32)
+    got = np.asarray(xr(a, m_int, m_log))
+    want = np.asarray(
+        stencil.restrict_full_weighting(a, m_int, m_log)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # edge-injection fast path (pure geometric m_int: half the
+    # full-volume contractions; Lyapunov/varcoef qualify)
+    xr_e = T.make_xla_restrict_2d(
+        g0, g1, jnp.float32, edge_injection=True
+    )
+    got = np.asarray(xr_e(a, h.levels[1].aux["m_int"], m_log))
+    want = np.asarray(
+        stencil.restrict_full_weighting(
+            a, h.levels[1].aux["m_int"], m_log
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    xp = T.make_xla_prolong_2d(g1, g0, jnp.float32)
+    m_int_f = np.asarray(h.levels[0].aux["m_int"])
+    got = np.asarray(xp(c)) * m_int_f
+    want = (
+        np.asarray(stencil.prolong_linear(c, g0.padded_shape)) * m_int_f
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_xla_2d_transfer_routing_in_pallas_and_galerkin_tiers():
+    """PallasKernels and GalerkinKernels route restrict/prolong through
+    the 2D XLA MXU path on qualifying pairs (513^2 finest: Y=640 >= the
+    256 gate) and stay on jnp below the gate."""
+    from pde_multigrid_tpu.grid import Hierarchy
+    from pde_multigrid_tpu.models import Lyapunov2D
+    from pde_multigrid_tpu.ops.pallas import dispatch as D
+
+    prob = Lyapunov2D()
+    h = Hierarchy.build(prob, 513, pad_last_to=128, pad_sublane_to=8)
+    ker = D.PallasKernels(prob, h.geoms, jnp.float32, interpret=True)
+    assert ker._xla_restrict[0] is not None
+    assert ker._xla_prolong[0] is not None
+    assert ker._xla_restrict[-2] is None  # tiny pairs stay jnp
+    rng = np.random.default_rng(5)
+    a = jnp.asarray(
+        rng.standard_normal(h.geoms[0].padded_shape), jnp.float32
+    )
+    aux1 = h.levels[1].aux
+    got = np.asarray(ker.restrict(0, a, aux1["m_int"], aux1["m_log"]))
+    want = np.asarray(
+        stencil.restrict_full_weighting(a, aux1["m_int"], aux1["m_log"])
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

@@ -67,6 +67,89 @@ def test_padding_is_inert_poisson1d():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_xla_transfers_match_jnp(monkeypatch):
+    """ShardedKernels routes restrict/prolong through the XLA MXU
+    pick-matrix transfers on qualifying pairs (VERDICT r4 #7) and the
+    results match the jnp tier on genuinely sharded inputs.
+
+    3D: gates forced open (the real 257^3-class engagement floor is
+    CPU-unreachable); 2D: real gates at 513^2 (Y=640 >= 256).  Outputs
+    are also pinned to the target level's sharding — the pin removes
+    the GSPMD 'involuntary full rematerialization' warning tail of
+    MULTICHIP_r04 (VERDICT r4 #6)."""
+    from pde_multigrid_tpu.ops import stencil
+    from pde_multigrid_tpu.parallel import sharded as S
+    from pde_multigrid_tpu.ops.pallas import transfer as T
+
+    monkeypatch.setattr(S, "SHARDED_XLA3D_MIN_YZ", 0)
+    monkeypatch.setattr(
+        T, "xla_pair_ok",
+        lambda gf, gc: gf.wrap and gc.wrap and gf.ndim == 3,
+    )
+    mesh = pmesh.make_mesh(8)
+    for prob, n, kw in (
+        (Poisson(3), 33, dict()),
+        (Lyapunov2D(), 513, dict(pad_last_to=128, pad_sublane_to=8)),
+    ):
+        from pde_multigrid_tpu.grid import Hierarchy
+
+        h = Hierarchy.build(
+            prob, n, pad_axis0_to=8,
+            wrap=(prob.ndim == 3), **kw,
+        )
+        ker = S.ShardedKernels(prob, h.geoms, mesh)
+        assert ker._xla_restrict[0] is not None, prob.name
+        levels = pmesh.shard_levels(mesh, h.levels, h.geoms)
+        assert not levels[0].v.sharding.is_fully_replicated
+        rng = np.random.default_rng(3)
+        a_host = rng.standard_normal(h.geoms[0].padded_shape).astype(
+            np.float32
+        )
+        a = jax.device_put(a_host, levels[0].v.sharding)
+        aux1 = h.levels[1].aux
+        got = np.asarray(
+            jax.jit(
+                lambda x: ker.restrict(
+                    0, x, aux1["m_int"], aux1["m_log"]
+                )
+            )(a)
+        )
+        want = np.asarray(
+            stencil.restrict_full_weighting(
+                jax.numpy.asarray(a_host), aux1["m_int"], aux1["m_log"]
+            )
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-6, err_msg=prob.name
+        )
+        c_host = rng.standard_normal(h.geoms[1].padded_shape).astype(
+            np.float32
+        )
+        m_int_f = np.asarray(h.levels[0].aux["m_int"])
+        got = (
+            np.asarray(
+                jax.jit(lambda x: ker.prolong(0, x))(
+                    jax.numpy.asarray(c_host)
+                )
+            )
+            * m_int_f
+        )
+        want = (
+            np.asarray(
+                stencil.prolong_linear(
+                    jax.numpy.asarray(c_host),
+                    h.geoms[0].padded_shape,
+                    periodic=h.geoms[0].wrap,
+                )
+            )
+            * m_int_f
+        )
+        np.testing.assert_allclose(
+            got, want, rtol=1e-5, atol=1e-6, err_msg=prob.name
+        )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_solve_matches_single_device_poisson3d():
     """The full FMG program sharded over an 8-device mesh (x-plane
     decomposition, agglomerated coarse levels) must match the single-device
