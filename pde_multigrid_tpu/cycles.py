@@ -112,7 +112,9 @@ class JnpKernels:
     # -- optional fused paths (overridden by the Pallas tier; None means
     # "no fused kernel, use the two-step fallback") ------------------------
 
-    def residual_restrict(self, l, v, f, aux, coarse_aux):
+    def residual_restrict(self, l, v, f, aux, coarse_aux, f_zero=False):
+        # f_zero: levels[l].f is a statically-known-zero RHS (rhs_zero
+        # problem, RHS-carrying leg) — split-layout tiers drop f streams
         return None
 
     def restrict_direct(self, l, arr, coarse_aux):
@@ -221,7 +223,8 @@ class CycleProgram:
                 return self._relax(levels, l, cfg.nu2, f_zero=fz)
             coarse = levels[l + 1]
             cf = self._fused(
-                "residual_restrict", l, fine.v, fine.f, fine.aux, coarse.aux
+                "residual_restrict", l, fine.v, fine.f, fine.aux,
+                coarse.aux, fz,
             )
             if cf is None:
                 r = self.kernels.residual(l, fine.v, fine.f, fine.aux)

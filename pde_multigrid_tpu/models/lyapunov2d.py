@@ -155,3 +155,20 @@ class Lyapunov2D(ProblemBase):
         statically zero RHS (the f term is dropped entirely)."""
         upd = nbr(0, +1) * pre["a_e"] + nbr(1, +1) * pre["a_s"]
         return upd if f is None else upd + f * pre["a_f"]
+
+    def split_operator2d(self, C, nbr, coords, geom: LevelGeometry):
+        """L v evaluated at one color's points in half layout
+        (ops/split2d.py persistent-split residual): same math and term
+        order as apply_operator, with `nbr` gathering the opposite
+        color's E/S neighbors and `coords` this color's own (x, y)."""
+        x, y = coords
+        hx = jnp.asarray(geom.spacing[0], C.dtype)
+        hy = jnp.asarray(geom.spacing[1], C.dtype)
+        a = self.a
+        k1 = (a[0, 0] * x + a[0, 1] * y).astype(C.dtype)
+        k2 = (a[1, 0] * x + a[1, 1] * y).astype(C.dtype)
+        east = nbr(0, +1)
+        south = nbr(1, +1)
+        return (
+            k1 * (east - C) / hx + k2 * (south - C) / hy + self.alpha * C
+        )

@@ -53,6 +53,34 @@ class PallasKernels(JnpKernels):
         self._sub_v, self._sub_c = subtree_mod.plan_fused_cycles(
             problem, geoms, dtype, cycle, interpret=interpret
         )
+        # persistent color-split tier for big non-wrap 2D levels
+        # (VERDICT r4 #1): relax legs consume/produce halves directly;
+        # the dense<->split correspondence is cached per trace and XLA
+        # dead-code-eliminates every merge whose dense twin is never
+        # consumed.  residual+restrict and prolong+blend run in half
+        # layout too (ops/split2d.py) when the problem supplies
+        # split_operator2d, so a level visit converts NOTHING.
+        # Keep-mask problems are excluded (the split-layout masks here
+        # are the pure geometric interior).
+        import os as _os
+
+        self._dtype = dtype
+        n_geoms = len(geoms)
+        self._split_raw = [None] * n_geoms
+        self._split_ops = False
+        if (
+            _os.environ.get("PDE_MG_SPLIT2D_PERSIST", "1") == "1"
+            and not hasattr(problem, "kernel_keep_mask")
+        ):
+            self._split_raw = [
+                relax_mod.plan_split2d_raw(
+                    problem, g, dtype, interpret=interpret
+                )
+                for g in geoms
+            ]
+            self._split_ops = hasattr(problem, "split_operator2d")
+        self._split_cache = {}
+        self._fsplit_cache = {}
         n = len(geoms)
         self._rr = [None] * n
         self._restrict = [None] * n
@@ -123,7 +151,48 @@ class PallasKernels(JnpKernels):
                     gc, gf, dtype, mode, interpret=interpret
                 )
 
+    # -- persistent color-split plumbing (trace-time caches) ---------------
+
+    def _split_cached(self, cache, key, builder):
+        """Trace-time memo keyed by tracer IDENTITY (the stored strong
+        ref pins the id, so a recycled id can never alias)."""
+        e = cache.get(id(key))
+        if e is not None and e[0] is key:
+            return e[1]
+        val = builder()
+        if len(cache) > 4096:
+            cache.clear()
+        cache[id(key)] = (key, val)
+        return val
+
+    def _to_split(self, l, v):
+        return self._split_cached(
+            self._split_cache, v, lambda: self._split_raw[l][1](v)
+        )
+
+    def _from_split(self, l, rb):
+        v = self._split_raw[l][2](*rb)
+        if len(self._split_cache) > 4096:
+            self._split_cache.clear()
+        self._split_cache[id(v)] = (v, rb)
+        return v
+
+    def _f_halves(self, l, f):
+        return self._split_cached(
+            self._fsplit_cache, f, lambda: self._split_raw[l][1](f)
+        )
+
     def relax(self, l, v, f, aux, nsweeps, f_zero=False):
+        sr = self._split_raw[l]
+        if sr is not None and nsweeps > 0:
+            fn, _, _ = sr
+            rb = self._to_split(l, v)
+            fs = (
+                ()
+                if f_zero and fn.supports_f_zero
+                else self._f_halves(l, f)
+            )
+            return self._from_split(l, fn(rb[0], rb[1], fs, nsweeps))
         dfn = self._defect_fns[l]
         if dfn is not None and nsweeps >= getattr(
             dfn, "min_sweeps", _defect_min_sweeps()
@@ -169,7 +238,26 @@ class PallasKernels(JnpKernels):
 
     # -- fused transfer hooks (cycles.CycleProgram consults these) ---------
 
-    def residual_restrict(self, l, v, f, aux, coarse_aux):
+    def residual_restrict(self, l, v, f, aux, coarse_aux, f_zero=False):
+        if self._split_raw[l] is not None and self._split_ops:
+            from pde_multigrid_tpu.ops import split2d
+
+            rb = self._to_split(l, v)
+            fr, fb = (
+                (None, None) if f_zero else self._f_halves(l, f)
+            )
+            rr_h, rb_h = split2d.residual_halves(
+                self.problem, self.geoms[l], rb[0], rb[1], fr, fb,
+                self._dtype,
+            )
+            return split2d.restrict_residual_from_halves(
+                self.geoms[l],
+                self.geoms[l + 1],
+                rr_h,
+                rb_h,
+                coarse_aux["m_int"],
+                coarse_aux["m_log"],
+            )
         fn = self._rr[l]
         return None if fn is None else fn(v, f)
 
@@ -178,6 +266,20 @@ class PallasKernels(JnpKernels):
         return None if fn is None else fn(arr)
 
     def prolong_blend(self, l_fine, base_v, coarse_v, m_int, mode):
+        if self._split_raw[l_fine] is not None and self._split_ops:
+            from pde_multigrid_tpu.ops import split2d
+
+            rb = self._to_split(l_fine, base_v)
+            r2, b2 = split2d.prolong_blend_halves(
+                self.geoms[l_fine + 1],
+                self.geoms[l_fine],
+                coarse_v,
+                rb[0],
+                rb[1],
+                mode,
+                self._dtype,
+            )
+            return self._from_split(l_fine, (r2, b2))
         fn = self._pb[l_fine].get(mode)
         return None if fn is None else fn(coarse_v, base_v)
 

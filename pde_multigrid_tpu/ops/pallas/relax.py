@@ -2551,6 +2551,7 @@ def make_split_color_slab_2d(
     slab_rows: int,
     sweeps_per_call: int = 1,
     interpret=False,
+    raw: bool = False,
 ):
     """Color-split slab relaxation for 2D PADDED levels.
 
@@ -2828,16 +2829,10 @@ def make_split_color_slab_2d(
 
         return with_tail
 
-    conv_split, conv_merge = make_color_converters_2d(
-        X, Y, Y2p, dtype, interpret
-    )
-
-    def relax(v, f, nsweeps: int, f_zero: bool = False):
-        r, b = conv_split(v)
-        fs = () if f_zero else conv_split(f)
+    def run_halves(r, b, fs, nsweeps: int):
         n_full, rem = divmod(nsweeps, T)
         if n_full:
-            full = build(T, not f_zero)
+            full = build(T, bool(fs))
             if n_full == 1:
                 r, b = full(r, b, *fs)
             else:
@@ -2848,14 +2843,36 @@ def make_split_color_slab_2d(
                     (r, b),
                 )
         if rem:
-            r, b = build(rem, not f_zero)(r, b, *fs)
+            r, b = build(rem, bool(fs))(r, b, *fs)
+        return r, b
+
+    supports_fz = bool(
+        getattr(problem, "split_update2d_f_optional", False)
+    )
+    if raw:
+        # persistent-split tier (round 5): halves in, halves out — the
+        # caller owns the dense<->split conversions and caches them
+        # across relax legs / cycle visits (ops/split2d.py)
+        def relax_raw(r, b, fs, nsweeps: int):
+            return run_halves(r, b, tuple(fs), nsweeps)
+
+        relax_raw.supports_f_zero = supports_fz
+        relax_raw.kind = "split2d_raw"
+        return relax_raw
+
+    conv_split, conv_merge = make_color_converters_2d(
+        X, Y, Y2p, dtype, interpret
+    )
+
+    def relax(v, f, nsweeps: int, f_zero: bool = False):
+        r, b = conv_split(v)
+        fs = () if f_zero else conv_split(f)
+        r, b = run_halves(r, b, fs, nsweeps)
         return conv_merge(r, b)
 
     # the f_zero fast path calls problem.split_update2d(nbr, None, ...):
     # only offered when the problem declares it handles a None RHS
-    relax.supports_f_zero = bool(
-        getattr(problem, "split_update2d_f_optional", False)
-    )
+    relax.supports_f_zero = supports_fz
     return relax
 
 
@@ -4087,3 +4104,49 @@ def plan_relax(problem, geom: LevelGeometry, dtype, interpret=False):
                     problem, geom, dtype, B, T, interpret
                 )
     return None
+
+
+def plan_split2d_raw(problem, geom: LevelGeometry, dtype, interpret=False):
+    """(relax_raw, split_pad, merge) for levels where plan_relax picks
+    the 2D color-split slab, else None — the persistent-split tier
+    (round 5): relax_raw(r, b, fs, nsweeps) consumes/produces halves;
+    split_pad/merge are the level's converters.  Mirrors plan_relax's
+    2D branch exactly (same gates, same split2d_plan ladder) so the two
+    cannot pick different kernels; the reduced-system kernel has no raw
+    form, so SPLIT2D_REDUCED opts a problem out of persistence."""
+    shape = geom.padded_shape
+    if not (
+        len(shape) == 2
+        and not geom.wrap
+        and hasattr(problem, "split_update2d")
+        and hasattr(problem, "kernel_precompute")
+        and getattr(problem, "split2d_x_offsets", (-1, 1)) is not None
+        and shape[1] % 2 == 0
+        and shape[0] % 8 == 0
+        and shape[1] // 2 >= SPLIT2D_MIN_Y2
+    ):
+        return None
+    if (
+        SPLIT2D_REDUCED
+        and hasattr(problem, "reduced2d_fields")
+        and tuple(getattr(problem, "split2d_x_offsets", ())) == (1,)
+    ):
+        return None
+    plan2d = split2d_plan(
+        shape,
+        getattr(problem, "split2d_x_offsets", (-1, 1)),
+        x_cover=geom.shape[0] - 1,
+    )
+    if plan2d is None:
+        return None
+    B, T2, _ = plan2d
+    fn = make_split_color_slab_2d(
+        problem, geom, dtype, B,
+        sweeps_per_call=T2, interpret=interpret, raw=True,
+    )
+    X, Y = shape
+    Y2p = _round_up(Y // 2, 128)
+    split_pad, merge = make_color_converters_2d(
+        X, Y, Y2p, dtype, interpret
+    )
+    return fn, split_pad, merge

@@ -589,8 +589,20 @@ import os as _os
 
 def _xla2d_min_y() -> int:
     """Engagement gate (padded fine lane extent), read at plan time so
-    the in-process A/B harness can toggle it; 0 disables the tier."""
-    return int(_os.environ.get("PDE_MG_XLA2D_MIN_Y", "256"))
+    the in-process A/B harness can toggle it; 0 disables the tier.
+
+    DEFAULT OFF (0) — measured LOSER at both bench sizes (interleaved
+    two-nu A/Bs, scripts/ab_xla2d_transfers.py, 2026-08-21): per-step
+    fixed 8.9 -> 12.9 ms at 2049^2 (blend form) and 33.0 -> 48.6 ms at
+    4097^2 (edge-injection form), slope parity, identical residuals.
+    The Precision.HIGHEST full-volume contractions cost more than the
+    jnp tier's fused rolls+reshapes: in 2D BOTH axes need a matmul
+    (vs 3D's free major-dim x-stage), and a (4104, 2056) x (4104, 4224)
+    pick contraction is ~140 GFLOP of mostly-zero band that the MXU
+    cannot skip.  The persistent-split tier (ops/split2d.py) is the 2D
+    fixed-cost lever instead: lane-local y-stages + ONE x-contraction.
+    Kept opt-in for future hardware re-measurement."""
+    return int(_os.environ.get("PDE_MG_XLA2D_MIN_Y", "0"))
 
 
 # The 2D matrices are built ON DEVICE from iota comparisons at trace

@@ -309,7 +309,8 @@ def test_xla_mxu_transfers_match_jnp_tier_wrap3d():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_xla_mxu_transfers_match_jnp_tier_2d():
+def test_xla_mxu_transfers_match_jnp_tier_2d(monkeypatch):
+    monkeypatch.setenv("PDE_MG_XLA2D_MIN_Y", "256")  # default-off tier
     """2D non-wrap XLA MXU pick-matrix transfers (make_xla_restrict_2d /
     make_xla_prolong_2d) == the jnp tier on padded 2D pairs, for an
     ARBITRARY (problem-modified) coarse interior mask — the semantics
@@ -363,10 +364,15 @@ def test_xla_mxu_transfers_match_jnp_tier_2d():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
 
 
-def test_xla_2d_transfer_routing_in_pallas_and_galerkin_tiers():
+def test_xla_2d_transfer_routing_in_pallas_and_galerkin_tiers(
+    monkeypatch,
+):
     """PallasKernels and GalerkinKernels route restrict/prolong through
     the 2D XLA MXU path on qualifying pairs (513^2 finest: Y=640 >= the
-    256 gate) and stay on jnp below the gate."""
+    256 gate) and stay on jnp below the gate.  The tier is DEFAULT OFF
+    (measured loser vs the fused jnp transfers, see transfer.py
+    _xla2d_min_y) — forced on here to pin the opt-in routing."""
+    monkeypatch.setenv("PDE_MG_XLA2D_MIN_Y", "256")
     from pde_multigrid_tpu.grid import Hierarchy
     from pde_multigrid_tpu.models import Lyapunov2D
     from pde_multigrid_tpu.ops.pallas import dispatch as D

@@ -82,6 +82,7 @@ def test_sharded_xla_transfers_match_jnp(monkeypatch):
     from pde_multigrid_tpu.ops.pallas import transfer as T
 
     monkeypatch.setattr(S, "SHARDED_XLA3D_MIN_YZ", 0)
+    monkeypatch.setenv("PDE_MG_XLA2D_MIN_Y", "256")  # default-off tier
     monkeypatch.setattr(
         T, "xla_pair_ok",
         lambda gf, gc: gf.wrap and gc.wrap and gf.ndim == 3,
