@@ -58,7 +58,7 @@ PROBLEM_DEFAULTS = {
     # relaxation — batched Thomas solves along the MAJOR axis (each scan
     # step is a full (Y, Z) plane on the VPU; scanning the lane axis
     # would serialize lanes)
-    "anis3d": dict(n=257, nu=8),
+    "anis3d": dict(n=257, nu=16),
 }
 
 
@@ -321,7 +321,7 @@ THESIS_MATRIX = [
     dict(problem="varcoef2d", n=1025, nu=40, nu0=2, reps=24),
     # north-star config 5: anisotropic 3D, FMG + W-cycle (mu=2), zebra
     # line relaxation (extension beyond the reference; vs_baseline null)
-    dict(problem="anis3d", n=257, nu=8, nu0=2, reps=10),
+    dict(problem="anis3d", n=257, nu=16, nu0=2, reps=10),
 ]
 
 

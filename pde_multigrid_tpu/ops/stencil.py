@@ -96,14 +96,99 @@ def thomas_tridiagonal(
     TPU-native shape: the scan is sequential along the line axis but each
     step is elementwise over all remaining axes — every line in the grid is
     solved simultaneously on the VPU.
-    """
+
+    When a/b/c arrive as HOST (numpy) vectors — the line_system builders
+    always supply them that way, since the tridiagonal couplings are
+    per-row constants — the coefficient half of the recurrence is
+    precomputed on the host in float64:
+
+        cp_i    = c_i / (b_i - a_i cp_{i-1})          (host, once)
+        alpha_i = -a_i / (b_i - a_i cp_{i-1})         (host, once)
+        beta_i  =  1   / (b_i - a_i cp_{i-1})         (host, once)
+        dp_i    = alpha_i dp_{i-1} + beta_i d_i       (device scan)
+        x_i     = dp_i - cp_i x_{i+1}                 (device scan)
+
+    so each device scan step is ONE fused multiply-add per point instead
+    of two data-dependent divides + multiply-subtracts.  (Measured at
+    257^3: the FMA reduction alone was a wash — the XLA while-loop's
+    ~12 us/iteration overhead dominates the one-FMA body — so the scans
+    are additionally 16-way unrolled, which cuts the iteration count and
+    with it the loop-overhead floor.)"""
+    import numpy as np
+
     d = jnp.moveaxis(d, axis, 0)
     n = d.shape[0]
     bshape = (n,) + (1,) * (d.ndim - 1)
+    zeros = jnp.zeros(d.shape[1:], d.dtype)
+    host = all(
+        isinstance(r, np.ndarray) for r in (a_rows, b_rows, c_rows)
+    )
+    if host:
+        a64 = np.asarray(a_rows, np.float64)
+        b64 = np.asarray(b_rows, np.float64)
+        c64 = np.asarray(c_rows, np.float64)
+        cp = np.zeros(n)
+        alpha = np.zeros(n)
+        beta = np.zeros(n)
+        cp_prev = 0.0
+        for i in range(n):
+            denom = b64[i] - a64[i] * cp_prev
+            cp[i] = c64[i] / denom
+            alpha[i] = -a64[i] / denom
+            beta[i] = 1.0 / denom
+            cp_prev = cp[i]
+        npdt = np.dtype(d.dtype)
+        # BLOCKED scans: a plain lax.scan stacks its per-step output
+        # with a one-row dynamic-update-slice — at 3D plane sizes that
+        # is a sub-tile write (sublane dim 1) whose read-modify-write
+        # overhead dominated the one-FMA body (measured ~12 us/step at
+        # 257^3, flat under scan unrolling).  Carrying B=8 rows per
+        # scan step makes every stacked write a full tile-aligned
+        # (8, ...) block; the 8 inner rows run as a static python loop.
+        B = 8
+        npad = -(-n // B) * B
+        padn = npad - n
+        if padn:
+            # identity padding rows: dp = d (= 0), x passthrough
+            alpha = np.concatenate([alpha, np.zeros(padn)])
+            beta = np.concatenate([beta, np.ones(padn)])
+            cp = np.concatenate([cp, np.zeros(padn)])
+            d = jnp.concatenate(
+                [d, jnp.zeros((padn,) + d.shape[1:], d.dtype)], axis=0
+            )
+        blk = (npad // B, B) + (1,) * (d.ndim - 1)
+        al_b = jnp.asarray(alpha.astype(npdt).reshape(blk))
+        be_b = jnp.asarray(beta.astype(npdt).reshape(blk))
+        cp_b = jnp.asarray(cp.astype(npdt).reshape(blk))
+        d_blk = d.reshape((npad // B, B) + d.shape[1:])
+
+        def fwd_pre(carry, xs):
+            al_i, be_i, d_i = xs
+            outs = []
+            dp = carry
+            for k in range(B):
+                dp = al_i[k] * dp + be_i[k] * d_i[k]
+                outs.append(dp)
+            return dp, jnp.stack(outs)
+
+        _, dps = lax.scan(fwd_pre, zeros, (al_b, be_b, d_blk))
+
+        def bwd_pre(carry, xs):
+            cp_i, dp_i = xs
+            outs = []
+            x = carry
+            for k in reversed(range(B)):
+                x = dp_i[k] - cp_i[k] * x
+                outs.append(x)
+            return x, jnp.stack(outs[::-1])
+
+        _, xs = lax.scan(bwd_pre, zeros, (cp_b, dps), reverse=True)
+        out = xs.reshape((npad,) + d.shape[1:])[:n]
+        return jnp.moveaxis(out, 0, axis)
+
     a_b = jnp.asarray(a_rows, d.dtype).reshape(bshape)
     b_b = jnp.asarray(b_rows, d.dtype).reshape(bshape)
     c_b = jnp.asarray(c_rows, d.dtype).reshape(bshape)
-    zeros = jnp.zeros(d.shape[1:], d.dtype)
 
     def fwd(carry, xs):
         cp_prev, dp_prev = carry

@@ -22,16 +22,12 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-SHAPE = (512, 128)
-ELEMS = SHAPE[0] * SHAPE[1]
-
-
-def make(kind, iters, dtype=jnp.float32):
+def make(kind, iters, shape, nacc, dtype=jnp.float32):
     def kernel(a_ref, b_ref, o_ref):
         a = a_ref[:]
         b = b_ref[:]
 
-        def body(i, v):
+        def op(v):
             if kind == "fma":
                 return v * a + b
             if kind == "add":
@@ -40,23 +36,32 @@ def make(kind, iters, dtype=jnp.float32):
                 return v * a
             raise ValueError(kind)
 
-        o_ref[:] = lax.fori_loop(0, iters, body, b)
+        def body(i, vs):
+            return tuple(op(v) for v in vs)
+
+        vs = lax.fori_loop(
+            0, iters, body, tuple(b + k for k in range(nacc))
+        )
+        out = vs[0]
+        for v in vs[1:]:
+            out = out + v
+        o_ref[:] = out
 
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct(SHAPE, dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
 
 
-def run(kind, iters, dtype=jnp.float32, reps=3):
+def run(kind, iters, shape, nacc, dtype=jnp.float32, reps=3):
     rng = np.random.default_rng(1)
     a = jnp.asarray(
-        1.0 + 1e-6 * rng.standard_normal(SHAPE), dtype
+        1.0 + 1e-6 * rng.standard_normal(shape), dtype
     )  # keep the chain finite
-    b = jnp.asarray(1e-6 * rng.standard_normal(SHAPE), dtype)
-    fn = jax.jit(make(kind, iters))
+    b = jnp.asarray(1e-6 * rng.standard_normal(shape), dtype)
+    fn = jax.jit(make(kind, iters, shape, nacc))
     out = fn(a, b)
     float(out[0, 0].astype(jnp.float32))  # force completion
     best = np.inf
@@ -70,19 +75,27 @@ def run(kind, iters, dtype=jnp.float32, reps=3):
 
 def main():
     dt = jnp.float32
-    hi, lo = 2_000_000, 250_000
     if len(sys.argv) > 1 and sys.argv[1] == "bf16":
         dt = jnp.bfloat16
-    for kind in ("fma", "add", "mul"):
-        t_hi = run(kind, hi, dt)
-        t_lo = run(kind, lo, dt)
-        per_iter = (t_hi - t_lo) / (hi - lo)
-        ops = ELEMS / per_iter
-        print(
-            f"{kind:>4} {np.dtype(dt).name}: t_hi={t_hi*1e3:.1f}ms "
-            f"t_lo={t_lo*1e3:.1f}ms -> {ops:.3e} elementwise ops/s",
-            flush=True,
-        )
+    for shape, nacc, hi in (
+        ((512, 128), 1, 2_000_000),
+        ((128, 128), 4, 2_000_000),
+        ((64, 128), 8, 2_000_000),
+        ((1024, 128), 1, 1_000_000),
+    ):
+        elems = shape[0] * shape[1] * nacc
+        lo = hi // 8
+        for kind in ("fma", "add"):
+            t_hi = run(kind, hi, shape, nacc, dt)
+            t_lo = run(kind, lo, shape, nacc, dt)
+            per_iter = (t_hi - t_lo) / (hi - lo)
+            ops = elems / per_iter
+            print(
+                f"{kind:>4} {np.dtype(dt).name} shape={shape} "
+                f"nacc={nacc}: t_hi={t_hi*1e3:.1f}ms "
+                f"t_lo={t_lo*1e3:.1f}ms -> {ops:.3e} ops/s",
+                flush=True,
+            )
 
 
 if __name__ == "__main__":
