@@ -30,8 +30,11 @@ from pde_multigrid_tpu import (
 from pde_multigrid_tpu.utils import roofline as RL
 
 REPS = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-SIZES = (8193, 65537, 524289, 4194305)
-NU_LO, NU_HI = 200, 2000
+# the 1D kernel tier is resident-only (plan_relax: no 1D slab tier), so
+# the scaling diagnostic runs within the resident budget
+SIZES = (2049, 8193, 16385)
+NU_LO, NU_HI = 1000, 20000
+ROUNDS = 3
 
 
 def leg_marginal(solver, nu, reps):
@@ -45,12 +48,16 @@ def leg_marginal(solver, nu, reps):
         )[1]
     )
     float(fn(1))  # compile + warm
-    ts = {}
-    for n in (2, 2 + reps):
-        t0 = time.perf_counter()
-        float(fn(n))
-        ts[n] = time.perf_counter() - t0
-    return (ts[2 + reps] - ts[2]) / reps
+    outs = []
+    for _ in range(ROUNDS):
+        ts = {}
+        for n in (2, 2 + reps):
+            t0 = time.perf_counter()
+            float(fn(n))
+            ts[n] = time.perf_counter() - t0
+        outs.append((ts[2 + reps] - ts[2]) / reps)
+    outs.sort()
+    return outs[len(outs) // 2]  # median kills pool spikes
 
 
 def main():
@@ -62,14 +69,20 @@ def main():
         )
         s = MultigridSolver(Ode1D(), n, cfg)
         kind = type(s.program.kernels).__name__
-        if s.program.kernels._relax_fns[0] is None:
+        fns = getattr(s.program.kernels, "_relax_fns", [None])
+        if fns[0] is None:
             print(f"n={n}: no kernel tier ({kind}); skipped", flush=True)
             continue
-        m_lo = leg_marginal(s, NU_LO, REPS)
-        m_hi = leg_marginal(s, NU_HI, REPS)
-        per_sweep = (m_hi - m_lo) / (NU_HI - NU_LO)
+        slopes = []
+        for _ in range(2):  # interleaved lo/hi pairs
+            m_lo = leg_marginal(s, NU_LO, REPS)
+            m_hi = leg_marginal(s, NU_HI, REPS)
+            slopes.append((m_hi - m_lo) / (NU_HI - NU_LO))
+        per_sweep = min(s_ for s_ in slopes if s_ > 0) if any(
+            s_ > 0 for s_ in slopes
+        ) else slopes[0]
         ups = (n - 2) / per_sweep
-        rows = (n - 1) // 2 // 128 or 1
+        rows = ((n - 1) // 2 + 127) // 128
         print(
             f"n={n}: per-sweep {per_sweep * 1e9:.1f} ns "
             f"({rows} rows/half = {max(rows // 8, 1)} vregs) -> "
