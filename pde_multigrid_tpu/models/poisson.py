@@ -228,6 +228,20 @@ class Poisson(ProblemBase):
             num = pair if num is None else num + pair
         return num * inv_den
 
+    def split_operator2d(self, C, nbr, coords, geom: LevelGeometry):
+        """L v at one color's points in half layout (ops/split2d.py
+        persistent-split residual); same math and term order as
+        apply_operator.  Engages only on PADDED 2D storage (the
+        homogeneous-Dirichlet default takes wrap storage, which the
+        2D split tiers don't cover)."""
+        inv_h2 = [
+            jnp.asarray(1.0 / (h * h), C.dtype) for h in geom.spacing
+        ]
+        out = 0.0
+        for ax, w in enumerate(inv_h2):
+            out = out + (nbr(ax, -1) - 2.0 * C + nbr(ax, +1)) * w
+        return out
+
     def kernel_update(self, v, f, pre, geom: LevelGeometry):
         # constant-coefficient: weights and the reciprocal fold to scalars.
         # Spatial axes are the LAST geom.ndim axes of v (1D problems run

@@ -121,33 +121,35 @@ def test_prolong_blend_halves_matches_dense(mode):
     )
 
 
-def test_persistent_split_fmg_matches_jnp(monkeypatch):
+@pytest.mark.parametrize("prob_cls", ["lyapunov", "poisson2d"])
+def test_persistent_split_fmg_matches_jnp(monkeypatch, prob_cls):
     """Full FMG with the persistent-split tier engaged on every level
     the ladder accepts (MIN_Y2 forced down so 65^2 qualifies) == the
-    jnp solver to transfer-reassociation tolerance."""
+    jnp solver to transfer-reassociation tolerance.  poisson2d runs
+    with storage='padded' (its zero boundary otherwise takes wrap
+    storage, which the 2D split tiers don't cover)."""
+    from pde_multigrid_tpu import Poisson
+
     monkeypatch.setattr(R, "SPLIT2D_MIN_Y2", 16)
-    cfg_p = SolverConfig(
-        cycle=CycleConfig("fmg", 1, 3, 3),
-        backend="pallas",
-        pad_last_to=128,
-        pad_sublane_to=8,
-        max_cycles=2,
-        tol=0.0,
-    )
-    cfg_j = SolverConfig(
-        cycle=CycleConfig("fmg", 1, 3, 3),
-        backend="jnp",
-        pad_last_to=128,
-        pad_sublane_to=8,
-        max_cycles=2,
-        tol=0.0,
-    )
-    sp = MultigridSolver(Lyapunov2D(), 65, cfg_p)
+
+    def mk(backend):
+        return SolverConfig(
+            cycle=CycleConfig("fmg", 1, 3, 3),
+            backend=backend,
+            pad_last_to=128,
+            pad_sublane_to=8,
+            max_cycles=2,
+            tol=0.0,
+            storage="padded",
+        )
+
+    prob = Lyapunov2D() if prob_cls == "lyapunov" else Poisson(2)
+    sp = MultigridSolver(prob, 65, mk("pallas"))
     ker = sp.program.kernels
     assert ker._split_raw[0] is not None, "persistent tier not engaged"
     assert ker._split_ops, "split_operator2d hook not detected"
     rp = sp.solve_to_tolerance()
-    rj = MultigridSolver(Lyapunov2D(), 65, cfg_j).solve_to_tolerance()
+    rj = MultigridSolver(prob, 65, mk("jnp")).solve_to_tolerance()
     assert not rp.diverged and not rj.diverged
     np.testing.assert_allclose(
         np.asarray(rp.v), np.asarray(rj.v), rtol=3e-5, atol=3e-5
